@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is a stand-in for a multi-executor cluster: every config
+here is chosen so the same code runs unchanged under
+``spark-submit --py-files`` on a real cluster (AQE on, explicit
+shuffle partitioning, Arrow enabled, UTC timezone pinned for oracle
+comparability).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "ves_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    On a real cluster, ``master`` comes from spark-submit and this
+    function only layers SQL configs; locally it defaults to
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions if shuffle_partitions is not None else cpus
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # shuffle partitions ~ cores locally; AQE coalesces at scale.
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # broadcast threshold: dims (source_meta, nation, region...) are tiny
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

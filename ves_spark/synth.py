@@ -1,0 +1,102 @@
+"""Deterministic synthetic input generator (FIXTURES.md §A-§C).
+
+Generates the canonical ``sequences`` token table plus the
+``source_meta`` enrich dim and the ``route_rules`` router config —
+seeded, no wall-clock entropy, so every run/scale reproduces exactly.
+
+Built with numpy + pyarrow directly (not Spark) so pytest fixtures are
+fast and independent of the system under test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ves_spark.schema import VOCAB
+
+SOURCES = ["src-hot"] + [f"src-{i:02d}" for i in range(15)]
+HOT_SHARE = 0.40  # src-hot ≈ 40% of rows — exercises skew handling
+MIN_LEN, MAX_LEN = 8, 512
+
+
+def make_sequences(n_rows: int, seed: int = 42) -> pa.Table:
+    """The canonical input table: (doc_id, tokens, n_tok, source)."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(MIN_LEN, MAX_LEN + 1, size=n_rows).astype(np.int32)
+    total = int(lengths.sum())
+    values = rng.integers(0, VOCAB, size=total, dtype=np.int32)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values))
+
+    # Zipf-skewed source: src-hot gets HOT_SHARE, rest uniform.
+    probs = np.full(len(SOURCES), (1.0 - HOT_SHARE) / (len(SOURCES) - 1))
+    probs[0] = HOT_SHARE
+    src_idx = rng.choice(len(SOURCES), size=n_rows, p=probs)
+    sources = pa.array(np.array(SOURCES, dtype=object)[src_idx])
+
+    doc_ids = pa.array([f"doc-{i:012d}" for i in range(n_rows)])
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "tokens": tokens,
+            "n_tok": pa.array(lengths),
+            "source": sources,
+        }
+    )
+
+
+def make_source_meta() -> pa.Table:
+    """Enrich dim (FIXTURES.md §B). Deliberately omits one source
+    (src-14) so the left-join 'unknown_tenant' default path is
+    exercised — the reference analogue is a payload whose inode has no
+    checkpoint entry."""
+    rows = []
+    tenants = ["tnt-a", "tnt-b", "tnt-c", "tnt-d", "tnt-e"]
+    envs = ["prod", "staging", "dev"]
+    for i, src in enumerate(SOURCES):
+        if src == "src-14":
+            continue  # the uncovered source
+        rows.append(
+            {
+                "source": src,
+                "tenant": tenants[i % len(tenants)],
+                "env": envs[i % len(envs)],
+                "priority": 3 if src == "src-hot" else i % 4,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def make_route_rules() -> pa.Table:
+    """Router config (FIXTURES.md §C). Predicates are Spark SQL boolean
+    expressions over the parsed+enriched frame. A row matching several
+    rules fans out to ALL of their sinks (the reference's
+    Rotated→[Stop, Start] two-event expansion,
+    src/tailer/tailer_events.rs:35-48, generalized)."""
+    rows = [
+        {"rule_id": 1, "predicate": "level IN ('ERROR','CRITICAL','FATAL')", "sink": "sink_errors"},
+        {"rule_id": 2, "predicate": "priority >= 3", "sink": "sink_hot"},
+        {"rule_id": 3, "predicate": "status_class = 5", "sink": "sink_errors"},
+        {"rule_id": 4, "predicate": "env = 'prod' AND level = 'WARN'", "sink": "sink_audit"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def write_fixture(out_dir: str, n_rows: int, seed: int = 42) -> dict[str, str]:
+    """Write the three tables as parquet; returns name->path."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for name, tbl in (
+        ("sequences", make_sequences(n_rows, seed)),
+        ("source_meta", make_source_meta()),
+        ("route_rules", make_route_rules()),
+    ):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(tbl, p)
+        paths[name] = p
+    return paths
