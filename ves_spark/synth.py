@@ -97,6 +97,9 @@ def write_fixture(out_dir: str, n_rows: int, seed: int = 42) -> dict[str, str]:
         ("route_rules", make_route_rules()),
     ):
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        # Small-ish row groups: parquet splits at row-group boundaries,
+        # so one giant row group would serialize the whole scan into a
+        # single Spark task regardless of partition count.
+        pq.write_table(tbl, p, row_group_size=16_384)
         paths[name] = p
     return paths
