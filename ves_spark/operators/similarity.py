@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a broadcast nested-loop with the
+dot product as a JVM higher-order fold (exact, and the correctness
+oracle for the approximate paths).
+
+Scale path: random-hyperplane LSH bucketing — queries only compare
+against their bucket (and optionally neighboring probes), turning the
+n×m pair space into per-bucket joins keyed by a small int.
+
+All float math is float→double cast, sequential fold, so results are
+bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (JVM HOF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query set
+    against the corpus, cosine per pair, window top-k. Ties broken by
+    corpus id for determinism. Columns: (q_id, c_id, cos, rnk)."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
+    scored = pairs.select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature as a small int: bit b = sign of
+    dot(vec, plane_b). Deterministic (planes seeded on the driver and
+    inlined as literals — broadcast-equivalent)."""
+    bucket = F.lit(0)
+    for b, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 1234,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+    Recall/cost dial = n_planes (2^n_planes buckets). Same output
+    schema as the brute-force baseline."""
+    planes = _planes(dim, n_planes, seed)
+    qb = queries.withColumn("_bkt", lsh_bucket(F.col(q_vec), planes))
+    cb = corpus.withColumn("_bkt", lsh_bucket(F.col(c_vec), planes))
+    pairs = cb.join(F.broadcast(qb), "_bkt").filter(F.col(q_id) != F.col(c_id))
+    scored = pairs.select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -572,3 +572,277 @@ def scalar_functions(spark, sf_dir):
         F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
     )
+
+
+# =====================================================================
+# Training-data pipeline operators (SURVEY.md §2 extensions):
+# deduplication, similarity search, text analysis. Implementations in
+# ves_spark/operators/.
+# =====================================================================
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    from ves_spark.operators.dedup import dedup_exact
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id")
+
+
+@register(
+    "minhash_exact_dup_pairs",
+    """
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM planted a JOIN planted b
+      ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_exact_dup_pairs(spark, sf_dir):
+    """MinHash LSH candidates verified by text equality. Identical
+    docs have identical signatures, so every identical-text pair MUST
+    collide in every band — the SQL self-join on text is therefore an
+    exact oracle for this query (completeness AND soundness)."""
+    from ves_spark.operators.dedup import minhash_lsh_candidates
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    cands = minhash_lsh_candidates(planted, "text", "doc_id", n_hashes=32, bands=8)
+    t = planted.select(F.col("doc_id").alias("_tid"), F.col("text").alias("_t"))
+    return (
+        cands.join(t.withColumnRenamed("_tid", "id_a").withColumnRenamed("_t", "ta"), "id_a")
+        .join(t.withColumnRenamed("_tid", "id_b").withColumnRenamed("_t", "tb"), "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words WHERE len(w) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON common.id_a = na.doc_id
+    JOIN sizes nb ON common.id_b = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    from ves_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    return ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.2)
+
+
+@register("simhash_near_pairs", None)  # pandas-hash kernel: rows-only check
+def simhash_near_pairs_q(spark, sf_dir):
+    from ves_spark.operators.dedup import simhash_near_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant mutated near-dups: drop the last word of every 10th doc
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").alias("text"),
+    )
+    return simhash_near_pairs(d.unionAll(mutated), "text", "doc_id", max_hamming=8)
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             round(
+               list_sum([CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])
+               / (sqrt(list_sum([CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE) FOR i IN range(1, 65)]))
+                * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])))
+             , 6) AS cos
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, c_id, cos, rnk FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def cosine_topk_q(spark, sf_dir):
+    from ves_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return cosine_topk_bruteforce(queries_df, corpus, k=5)
+
+
+@register("ann_lsh_topk", None)  # approximate: validated vs brute force in pytest
+def ann_lsh_topk_q(spark, sf_dir):
+    from ves_spark.operators.similarity import cosine_topk_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return cosine_topk_lsh(queries_df, corpus, k=5, n_planes=4, dim=64)
+
+
+@register(
+    "token_count_docs",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    from ves_spark.operators.text import bpe_token_count, ws_token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "quality_scores_docs",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS words,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS np
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             round(len(list_filter(words, w -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'],
+               lower(w)))) * 1.0 / greatest(len(words), 1), 4) AS stop_ratio,
+             round(np * 1.0 / greatest(nc, 1), 4) AS punct_ratio
+      FROM f
+    )
+    SELECT doc_id, n_words, stop_ratio, punct_ratio,
+           round(least(n_words / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 5, 1.0) * 0.4
+                 + (1 - least(punct_ratio * 10, 1.0)) * 0.2, 4) AS quality_score
+    FROM g
+    """,
+)
+def quality_scores_docs(spark, sf_dir):
+    from ves_spark.operators.text import quality_features
+
+    d = load(spark, sf_dir, "documents")
+    return quality_features(d, "text").select(
+        "doc_id", "n_words", "stop_ratio", "punct_ratio", "quality_score"
+    )
+
+
+@register(
+    "langid_docs",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS words,
+             length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS ascii_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round(len(list_filter(words, w -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'],
+             w))) * 1.0 / greatest(len(words), 1), 4) AS en_score,
+           round(ascii_ratio, 4) AS ascii_ratio
+    FROM f
+    """,
+)
+def langid_docs(spark, sf_dir):
+    from ves_spark.operators.text import langid_scores
+
+    d = load(spark, sf_dir, "documents")
+    return langid_scores(d, "text").select("doc_id", "lang", "en_score", "ascii_ratio")
+
+
+@register(
+    "fingerprint_docs",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              w -> (length(w) * 131 + ascii(w)) % 1000000007)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark, sf_dir):
+    """Order-sensitive polynomial rolling-hash fingerprint with a
+    cross-engine word hash ((len*131 + ascii(first_char)) mod M) so
+    DuckDB can replicate it exactly; the production variant in
+    operators/text.py uses xxhash64 word hashes."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    vals = F.transform(
+        words, lambda w: (F.length(w) * 131 + F.ascii(w)) % 1000000007
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+@register("multimodal_features", None)  # mapInPandas kernel: rows-only check
+def multimodal_features_q(spark, sf_dir):
+    """Binary-column plumbing: documents text encoded to binary stands
+    in for media payloads; deterministic fake 'decode' extracts byte
+    histogram features map-side (no codec libs in this container)."""
+    from ves_spark.operators.multimodal import extract_features
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, decode_mode="fake")
+    return feats.select("media_id", "kind", "n_bytes", "checksum")
