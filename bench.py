@@ -68,18 +68,31 @@ def bench_pipeline(spark, fix_dir: str, n_rows: int) -> dict:
     meta = spark.read.parquet(f"{fix_dir}/source_meta.parquet")
     rules = spark.read.parquet(f"{fix_dir}/route_rules.parquet")
 
-    t0 = time.monotonic()
-    routed = route(enrich(parse_builtin(seq), meta), rules)
-    agg = rollup(routed)
-    # one action: group count + routed-row count both fall out of the
-    # rollup (sum of per-group cnt), so the plan runs exactly once.
-    stats = agg.select(
-        F.count(F.lit(1)).alias("groups"), F.sum("cnt").alias("routed")
-    ).collect()[0]
-    wall = time.monotonic() - t0
+    def run_once() -> tuple[float, object]:
+        t0 = time.monotonic()
+        routed = route(enrich(parse_builtin(seq), meta), rules)
+        agg = rollup(routed)
+        # one action: group count + routed-row count both fall out of
+        # the rollup (sum of per-group cnt) — the plan runs once.
+        stats = agg.select(
+            F.count(F.lit(1)).alias("groups"), F.sum("cnt").alias("routed")
+        ).collect()[0]
+        return time.monotonic() - t0, stats
+
+    # steady state: one warmup run lets HotSpot finish compiling the
+    # generated stages (and faults the input into page cache), then
+    # min-of-3 — the min is the right estimator under external noise.
+    run_once()
+    walls = []
+    stats = None
+    for _ in range(3):
+        w, stats = run_once()
+        walls.append(w)
+    wall = min(walls)
     return {
         "pipeline_wall_sec": round(wall, 3),
         "throughput_mseq_per_sec": round(n_rows / wall / 1e6, 4),
+        "pipeline_walls_all": [round(w, 3) for w in walls],
         "routed_rows": int(stats["routed"]),
         "rollup_groups": int(stats["groups"]),
     }
@@ -105,7 +118,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_rows = int(os.environ.get("VES_BENCH_ROWS", "1000000"))
+    n_rows = int(os.environ.get("VES_BENCH_ROWS", "2000000"))
     qnames = (
         os.environ.get("VES_BENCH_QUERIES", "").split(",")
         if os.environ.get("VES_BENCH_QUERIES")

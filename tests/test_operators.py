@@ -1,0 +1,146 @@
+"""Invariant tests for operators whose oracle is not SQL-expressible:
+MinHash/SimHash near-dup recall on planted duplicates, ANN recall vs
+the brute-force baseline, multimodal plumbing."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+
+def _mutate_drop_last_word(df, every=5):
+    return df.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"
+        ).alias("text"),
+    )
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    from ves_spark.operators.dedup import minhash_dedup_pairs
+
+    base = docs.filter(F.size(F.split("text", " ")) >= 20)
+    planted = base.unionAll(_mutate_drop_last_word(base))
+    pairs = minhash_dedup_pairs(
+        planted, "text", "doc_id", threshold=0.8, n_hashes=32, bands=16
+    ).toPandas()
+    expected = {
+        (int(r["doc_id"]), int(r["doc_id"]) + 1_000_000)
+        for r in base.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+    }
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    recall = len(expected & found) / len(expected)
+    # dropping 1 word of >=20 keeps shingle-jaccard ~0.9; 16 bands of
+    # r=2 catch s=0.9 pairs w.p. 1-(1-s^2)^16 ≈ 1-3e-12 each
+    assert recall >= 0.9, f"minhash recall {recall}"
+    # soundness: every reported pair really meets the threshold
+    assert (pairs["jaccard"] >= 0.8).all()
+
+
+def test_simhash_hamming_small_for_near_dups(spark, docs):
+    from ves_spark.operators.dedup import simhash
+
+    base = docs.filter(F.size(F.split("text", " ")) >= 30)
+    planted = base.unionAll(_mutate_drop_last_word(base, every=1))
+    h = simhash(planted, "text").toPandas().set_index("doc_id")["simhash"]
+    import numpy as np
+
+    hams = []
+    for did in h.index:
+        if did >= 1_000_000 and (did - 1_000_000) in h.index:
+            x = (int(h[did]) & 0xFFFFFFFFFFFFFFFF) ^ (
+                int(h[did - 1_000_000]) & 0xFFFFFFFFFFFFFFFF
+            )
+            hams.append(bin(x).count("1"))
+    assert hams, "no planted pairs"
+    assert sum(hams) / len(hams) <= 8, f"mean hamming {sum(hams)/len(hams)}"
+
+
+def test_simhash_deterministic(spark, docs):
+    from ves_spark.operators.dedup import simhash
+
+    a = simhash(docs, "text").toPandas().sort_values("doc_id")["simhash"].tolist()
+    b = simhash(docs, "text").toPandas().sort_values("doc_id")["simhash"].tolist()
+    assert a == b
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from ves_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = cosine_topk_bruteforce(q, c, k=5).toPandas()
+    approx = cosine_topk_lsh(q, c, k=5, n_planes=3, n_tables=12, dim=64).toPandas()
+    e_pairs = set(zip(exact["q_id"], exact["c_id"]))
+    a_pairs = set(zip(approx["q_id"], approx["c_id"]))
+    recall = len(e_pairs & a_pairs) / len(e_pairs)
+    # 8 buckets over clustered embeddings: same-cluster neighbors
+    # mostly share sign bits; this is a smoke floor, not a guarantee
+    assert recall >= 0.6, f"ANN recall {recall}"
+    # the approximate scores it does return are the true cosines
+    merged = approx.merge(exact, on=["q_id", "c_id"], suffixes=("_a", "_e"))
+    assert (abs(merged["cos_a"] - merged["cos_e"]) < 1e-9).all()
+
+
+def test_multimodal_plumbing(spark):
+    from ves_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=48)
+    feats = extract_features(media, decode_mode="fake").toPandas()
+    assert len(feats) == 48
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["feat"].map(len).eq(8).all()
+    # histogram features are normalized: sum ≈ 1
+    import numpy as np
+
+    assert np.allclose([sum(f) for f in feats["feat"]], 1.0, atol=1e-3)
+
+    frames = frame_sample_plan(media, every_n=10).toPandas()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames["media_id"].nunique() == vids
+    assert (frames["frame_idx"] % 10 == 0).all()
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from ves_spark.operators.multimodal import _decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\x89PNG")
+
+
+def test_fingerprint_xxhash_variant(spark, docs):
+    """Order sensitivity: permuting words changes the fingerprint."""
+    from ves_spark.operators.text import fingerprint
+
+    fp = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        fingerprint(
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+        ).alias("fp_rev"),
+    ).toPandas()
+    multi_word = fp  # docs have >=2 distinct words almost surely
+    changed = (multi_word["fp"] != multi_word["fp_rev"]).mean()
+    assert changed > 0.95
+    assert (fp["fp"] >= 0).all() and (fp["fp"] < 1_000_000_007).all()

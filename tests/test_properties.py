@@ -1,0 +1,79 @@
+"""Property-based spot checks (SURVEY.md §5.2): random token arrays
+round-trip through parse without loss; routing is exhaustive and
+per-sink disjoint. Hypothesis drives the generator; each case builds a
+small Spark frame (kept tiny — Spark job per example is expensive, so
+examples are batched into one frame per property run)."""
+
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from ves_spark.parse import parse_builtin
+from ves_spark.route import route
+from ves_spark.schema import VOCAB
+
+token_arrays = st.lists(
+    st.lists(st.integers(min_value=0, max_value=VOCAB - 1), min_size=3, max_size=64),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _df(spark, arrays):
+    tbl = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(len(arrays))],
+            "tokens": pa.array(arrays, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(a) for a in arrays], type=pa.int32()),
+            "source": ["src-hot"] * len(arrays),
+        }
+    )
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(arrays=token_arrays)
+def test_parse_conserves_payload(spark, arrays):
+    out = parse_builtin(_df(spark, arrays)).select("doc_id", "tokens", "n_tok").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for i, a in enumerate(arrays):
+        r = by_id[f"d{i}"]
+        assert list(r["tokens"]) == a  # token-array equality
+        assert r["n_tok"] == len(a)  # size conservation
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(arrays=token_arrays)
+def test_parse_fields_in_domain(spark, arrays):
+    rows = parse_builtin(_df(spark, arrays)).collect()
+    for r in rows:
+        assert 0 <= r["level_id"] < 8
+        assert 1 <= r["status_class"] <= 5
+        assert r["status_code"] // 100 == r["status_class"]
+        assert r["time_bucket"] <= r["ts"]
+
+
+RULES = [
+    {"rule_id": 1, "predicate": "level IN ('ERROR','CRITICAL','FATAL')", "sink": "a"},
+    {"rule_id": 2, "predicate": "status_class = 5", "sink": "b"},
+]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(arrays=token_arrays)
+def test_route_exhaustive_disjoint(spark, arrays):
+    routed = route(parse_builtin(_df(spark, arrays)), RULES)
+    pdf = routed.select("doc_id", "sink").toPandas()
+    # exhaustive: every input row routed somewhere
+    assert set(pdf["doc_id"]) == {f"d{i}" for i in range(len(arrays))}
+    # disjoint per sink: no (row, sink) duplicate
+    assert not pdf.duplicated(["doc_id", "sink"]).any()
+
+
+def test_route_default_only_when_no_match(spark):
+    arrays = [[5, 0, 0, 9]]  # level_id=5 -> ERROR; status_class=1
+    routed = route(parse_builtin(_df(spark, arrays)), RULES)
+    sinks = sorted(r["sink"] for r in routed.select("sink").collect())
+    assert sinks == ["a"]  # matched -> no sink_default row

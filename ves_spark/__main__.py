@@ -1,0 +1,56 @@
+"""spark-submit entry point:
+
+    spark-submit --py-files ves_spark.zip -m ves_spark  # or:
+    spark-submit --py-files ves_spark.zip ves_spark/__main__.py \\
+        --sequences s3://.../sequences \\
+        --source-meta s3://.../source_meta \\
+        --route-rules s3://.../route_rules \\
+        --out s3://.../out --units 1024 --units-per-increment 64
+
+On a cluster, master/executor settings come from spark-submit; this
+module only supplies SQL confs (see session.get_spark). Locally it
+falls back to local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import uuid
+
+from ves_spark.pipeline import Pipeline, PipelineConfig
+from ves_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="ves_spark")
+    p.add_argument("--sequences", required=True)
+    p.add_argument("--source-meta", required=True)
+    p.add_argument("--route-rules", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--units", type=int, default=64)
+    p.add_argument("--units-per-increment", type=int, default=8)
+    p.add_argument("--parse-impl", choices=["builtin", "arrow"], default="builtin")
+    p.add_argument("--write-partitions", type=int, default=0)
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="ves_spark_pipeline")
+    conf = PipelineConfig(
+        sequences_path=args.sequences,
+        source_meta_path=args.source_meta,
+        route_rules_path=args.route_rules,
+        out_dir=args.out,
+        n_units=args.units,
+        units_per_increment=args.units_per_increment,
+        parse_impl=args.parse_impl,
+        write_partitions=args.write_partitions,
+        run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
+    )
+    stats = Pipeline(spark, conf).run()
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,11 +81,24 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """array of (table_idx, bucket) structs — one bucket per table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), lsh_bucket(vec, planes).alias("bkt")
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 4,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 1234,
     q_id: str = "q_id",
@@ -93,13 +106,30 @@ def cosine_topk_lsh(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
-    Recall/cost dial = n_planes (2^n_planes buckets). Same output
-    schema as the brute-force baseline."""
-    planes = _planes(dim, n_planes, seed)
-    qb = queries.withColumn("_bkt", lsh_bucket(F.col(q_vec), planes))
-    cb = corpus.withColumn("_bkt", lsh_bucket(F.col(c_vec), planes))
-    pairs = cb.join(F.broadcast(qb), "_bkt").filter(F.col(q_id) != F.col(c_id))
+    """Approximate top-k via multi-table random-hyperplane LSH: a pair
+    is a candidate if it collides in ANY of ``n_tables`` independent
+    tables (recall 1-(1-p^b)^L for per-bit agreement p). Cost/recall
+    dials: n_planes (bucket granularity) × n_tables (redundancy).
+    Same output schema as the brute-force baseline.
+
+    Scale shape: candidates come from an equi-join on (table, bucket)
+    — the corpus is never compared against out-of-bucket queries, and
+    the shuffle key is a small int pair."""
+    tables = [
+        _planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+    ]
+    qb = queries.select(
+        q_id, q_vec, F.explode(_table_buckets(F.col(q_vec), tables)).alias("_tb")
+    ).select(q_id, q_vec, "_tb.tbl", "_tb.bkt")
+    cb = corpus.select(
+        c_id, c_vec, F.explode(_table_buckets(F.col(c_vec), tables)).alias("_tb")
+    ).select(c_id, c_vec, "_tb.tbl", "_tb.bkt")
+    pairs = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, q_vec, c_vec)
+        .dropDuplicates([q_id, c_id])
+    )
     scored = pairs.select(
         q_id,
         c_id,

@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # broadcast threshold: dims (source_meta, nation, region...) are tiny
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # HotSpot refuses to JIT methods over 8000 bytecodes
+        # (DontCompileHugeMethods); Spark's default hugeMethodLimit
+        # (65535) happily emits bigger fused whole-stage methods, which
+        # then run INTERPRETED — measured 10-30x slowdowns with wild
+        # variance on this pipeline's fused parse->enrich->route stage.
+        # Capping at 8000 makes Spark split codegen at sane boundaries.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # percentile sketches: the ObjectHashAggregate sort-based
+        # fallback triggers after 128 keys/partition by default and
+        # turns hash aggregation into a full sort — our rollup keys
+        # are high-cardinality by design, so keep it hash-based.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,101 @@
+"""Structured Streaming wrapper over the batch pipeline.
+
+The reference's 'streaming' is incremental file reads with resumable
+checkpoints (SURVEY.md §2.3) — the batch pipeline + lineage store
+already covers that semantic. This wrapper is the live-tail variant:
+the same stateless parse → enrich → route stages applied to a
+``readStream`` source, with a watermarked tumbling-window rollup
+replacing the batch groupBy (late data handled by the watermark
+instead of snapshot boundaries).
+
+The stage functions are shared verbatim with the batch path — they
+are stateless column transforms, so Structured Streaming accepts them
+unchanged; only the source and the aggregation differ. Per-sink
+delivery uses ``foreachBatch`` in production (exactly-once via the
+sink's idempotent write + the streaming checkpoint); tests use the
+memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ves_spark.enrich import enrich
+from ves_spark.parse import parse
+from ves_spark.route import route
+from ves_spark.schema import SEQUENCES
+
+
+def stream_transform(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    source_meta_path: str,
+    route_rules_path: str,
+    parse_impl: str = "builtin",
+) -> DataFrame:
+    """parse -> enrich -> route on a streaming frame (stateless)."""
+    meta = spark.read.parquet(source_meta_path)
+    rules = spark.read.parquet(route_rules_path)
+    return route(enrich(parse(stream_df, parse_impl), meta), rules)
+
+
+def stream_rollup(routed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window rollup per (sink, source).
+
+    count/sum only: these merge incrementally in the state store.
+    Percentiles over a stream need a mergeable sketch UDAF; batch
+    finalize (pipeline.finalize_rollup) remains the percentile path.
+    """
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "sink", "source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
+        )
+        .select(
+            F.col("win.start").alias("time_bucket"),
+            "sink",
+            "source",
+            "cnt",
+            "sum_n_tok",
+        )
+    )
+
+
+def open_stream(spark: SparkSession, sequences_dir: str) -> DataFrame:
+    """readStream over a parquet directory of token sequences."""
+    return (
+        spark.readStream.schema(SEQUENCES)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(sequences_dir)
+    )
+
+
+def run_to_memory(
+    spark: SparkSession,
+    sequences_dir: str,
+    source_meta_path: str,
+    route_rules_path: str,
+    query_name: str = "ves_stream",
+    output_mode: str = "complete",
+):
+    """Drive the stream to completion synchronously (test/dev helper).
+
+    complete mode so a finite input emits its final aggregates —
+    append mode would hold the last windows in state waiting for a
+    watermark bump that never comes.
+    """
+    stream = open_stream(spark, sequences_dir)
+    routed = stream_transform(spark, stream, source_meta_path, route_rules_path)
+    agg = stream_rollup(routed)
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

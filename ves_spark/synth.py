@@ -23,9 +23,7 @@ HOT_SHARE = 0.40  # src-hot ≈ 40% of rows — exercises skew handling
 MIN_LEN, MAX_LEN = 8, 512
 
 
-def make_sequences(n_rows: int, seed: int = 42) -> pa.Table:
-    """The canonical input table: (doc_id, tokens, n_tok, source)."""
-    rng = np.random.default_rng(seed)
+def _sequences_chunk(rng: np.random.Generator, start: int, n_rows: int) -> pa.Table:
     lengths = rng.integers(MIN_LEN, MAX_LEN + 1, size=n_rows).astype(np.int32)
     total = int(lengths.sum())
     values = rng.integers(0, VOCAB, size=total, dtype=np.int32)
@@ -39,7 +37,7 @@ def make_sequences(n_rows: int, seed: int = 42) -> pa.Table:
     src_idx = rng.choice(len(SOURCES), size=n_rows, p=probs)
     sources = pa.array(np.array(SOURCES, dtype=object)[src_idx])
 
-    doc_ids = pa.array([f"doc-{i:012d}" for i in range(n_rows)])
+    doc_ids = pa.array([f"doc-{i:012d}" for i in range(start, start + n_rows)])
     return pa.table(
         {
             "doc_id": doc_ids,
@@ -48,6 +46,21 @@ def make_sequences(n_rows: int, seed: int = 42) -> pa.Table:
             "source": sources,
         }
     )
+
+
+# int32 list offsets cap a single chunk at ~2^31 token values; 2M rows
+# (~0.5G tokens) keeps peak RAM modest and offsets safe.
+CHUNK_ROWS = 2_000_000
+
+
+def make_sequences(n_rows: int, seed: int = 42) -> pa.Table:
+    """The canonical input table: (doc_id, tokens, n_tok, source)."""
+    rng = np.random.default_rng(seed)
+    chunks = [
+        _sequences_chunk(rng, start, min(CHUNK_ROWS, n_rows - start))
+        for start in range(0, n_rows, CHUNK_ROWS)
+    ]
+    return pa.concat_tables(chunks)
 
 
 def make_source_meta() -> pa.Table:
@@ -88,18 +101,33 @@ def make_route_rules() -> pa.Table:
 
 
 def write_fixture(out_dir: str, n_rows: int, seed: int = 42) -> dict[str, str]:
-    """Write the three tables as parquet; returns name->path."""
+    """Write the three tables as parquet; returns name->path.
+
+    ``sequences`` is generated and written chunk-by-chunk (bounded
+    RAM at any n_rows) with small-ish row groups: parquet splits at
+    row-group boundaries, so one giant row group would serialize the
+    whole scan into a single Spark task regardless of partition count.
+    """
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
+
+    seq_path = os.path.join(out_dir, "sequences.parquet")
+    rng = np.random.default_rng(seed)
+    writer = None
+    for start in range(0, n_rows, CHUNK_ROWS):
+        chunk = _sequences_chunk(rng, start, min(CHUNK_ROWS, n_rows - start))
+        if writer is None:
+            writer = pq.ParquetWriter(seq_path, chunk.schema)
+        writer.write_table(chunk, row_group_size=16_384)
+    if writer is not None:
+        writer.close()
+    paths["sequences"] = seq_path
+
     for name, tbl in (
-        ("sequences", make_sequences(n_rows, seed)),
         ("source_meta", make_source_meta()),
         ("route_rules", make_route_rules()),
     ):
         p = os.path.join(out_dir, f"{name}.parquet")
-        # Small-ish row groups: parquet splits at row-group boundaries,
-        # so one giant row group would serialize the whole scan into a
-        # single Spark task regardless of partition count.
         pq.write_table(tbl, p, row_group_size=16_384)
         paths[name] = p
     return paths
