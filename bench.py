@@ -81,11 +81,11 @@ def bench_pipeline(spark, fix_dir: str, n_rows: int) -> dict:
 
     # steady state: one warmup run lets HotSpot finish compiling the
     # generated stages (and faults the input into page cache), then
-    # min-of-3 — the min is the right estimator under external noise.
+    # min-of-4 — the min is the right estimator under external noise.
     run_once()
     walls = []
     stats = None
-    for _ in range(3):
+    for _ in range(4):
         w, stats = run_once()
         walls.append(w)
     wall = min(walls)
@@ -127,13 +127,19 @@ def main() -> None:
 
     fix_dir = _bench_input(n_rows)
 
-    # NOTE: heap deliberately modest — measured on this box, a 48g heap
-    # sends the JVM into a progressive GC/paging spiral (6s -> 187s for
-    # identical queries); 8-12g is stable and fast.
+    # 16g heap, pre-touched: this sandbox VM serves first-touch page
+    # faults lazily (~6 MB/s per thread), so an un-pretouched big heap
+    # degrades GC pauses into page-fault storms mid-run (measured
+    # 6s -> 187s degradation). AlwaysPreTouch pays the faults once at
+    # startup with parallel GC threads.
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name="ves_bench",
         shuffle_partitions=cpus,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch",
+        },
     )
     # warm the JVM/codegen so the timed sections measure steady state
     spark.read.parquet(f"{fix_dir}/sequences.parquet").limit(10).count()

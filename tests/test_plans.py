@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the properties that make the pipeline
+scale must be visible in the plan, not just hoped for (predicate
+pushdown to the parquet scan, column pruning, broadcast enrich, no
+shuffle before the rollup exchange)."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ves_spark.enrich import enrich
+from ves_spark.parse import parse_builtin
+from ves_spark.route import route
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def frames(spark, fixture_dir):
+    seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    meta = spark.read.parquet(os.path.join(fixture_dir, "source_meta.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "route_rules.parquet"))
+    return seq, meta, rules
+
+
+def test_filter_pushdown_reaches_scan(spark, fixture_dir):
+    seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    plan = _plan(seq.filter(F.col("source") == "src-hot").select("doc_id", "n_tok"))
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src-hot)]" in plan
+
+
+def test_column_pruning(spark, fixture_dir):
+    seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    # a query not touching `tokens` must not read it from parquet
+    plan = _plan(seq.groupBy("source").agg(F.sum("n_tok")))
+    assert "tokens" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_rollup_prunes_tokens_but_parse_requires_them(frames):
+    seq, meta, rules = frames
+    routed = route(enrich(parse_builtin(seq), meta), rules)
+    agg = routed.groupBy("sink", "source", "time_bucket").count()
+    read_schema = _plan(agg).split("ReadSchema:")[1].splitlines()[0]
+    # parse needs tokens (level/status come from tokens[0], tokens[2])
+    assert "tokens" in read_schema
+    # but the untouched payload columns stay pruned
+    assert "doc_id" not in read_schema
+
+
+def test_single_exchange_in_pipeline(frames):
+    """parse->enrich->route is one narrow stage; the rollup is the
+    ONLY exchange (plus the broadcast, which is not a shuffle)."""
+    seq, meta, rules = frames
+    routed = route(enrich(parse_builtin(seq), meta), rules)
+    agg = routed.groupBy("sink", "source", "time_bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    plan = _plan(agg)
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, f"expected exactly 1 shuffle, got {n_shuffles}:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_route_keeps_whole_stage_codegen(frames):
+    """The compiled rule array must be evaluated inside codegen (a
+    Project), not inside the interpreted Generate."""
+    seq, meta, rules = frames
+    routed = route(enrich(parse_builtin(seq), meta), rules)
+    plan = _plan(routed.select("sink"))
+    gen_line = next(l for l in plan.splitlines() if "Generate explode" in l)
+    # the generator argument is a plain attribute, not the when-chain
+    assert "CASE WHEN" not in gen_line

@@ -846,3 +846,255 @@ def multimodal_features_q(spark, sf_dir):
     )
     feats = extract_features(media, decode_mode="fake")
     return feats.select("media_id", "kind", "n_bytes", "checksum")
+
+
+# =====================================================================
+# Second operator batch: as-of join, sessionization, SQL front-end
+# subqueries, salted skew aggregation, CDC-style latest-row dedup.
+# =====================================================================
+
+
+@register(
+    "asof_join_last_order",
+    """
+    SELECT event_id, last_orderkey,
+           strftime(last_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
+    FROM (
+      SELECT e.event_id, o.o_orderkey AS last_orderkey,
+             o.o_orderdate AS last_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t WHERE rn = 1
+    """,
+)
+def asof_join_last_order(spark, sf_dir):
+    """As-of join (Spark lacks a native one): latest order per event at
+    or before the event timestamp — equi-join on the key + range
+    predicate + per-event top-1 window, with a total-order tiebreak.
+    At scale, the window degenerates to a map-side top-1 after AQE
+    because the join output is already partitioned by event."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    joined = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_orderdate"
+            ),
+        )
+    )
+
+
+@register(
+    "sessionization",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), brk AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS is_new
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM brk
+    )
+    SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag + cumulative-sum of
+    session breaks — the batch equivalent of session_window."""
+    e = load(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.withColumn("prev_ts", F.lag("ts").over(w_order))
+    brk = lagged.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800.0),
+            1,
+        ).otherwise(0),
+    )
+    sess = brk.withColumn(
+        "sess_id",
+        F.sum("is_new").over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "scalar_subquery_outliers",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+    """,
+)
+def scalar_subquery_outliers(spark, sf_dir):
+    """SQL front-end: correlated-free scalar subquery via spark.sql."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders_v)
+        """
+    )
+
+
+@register(
+    "having_filter",
+    """
+    SELECT l_suppkey, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 100 AND sum(l_extendedprice) > 1000000
+    """,
+)
+def having_filter(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.sum("l_extendedprice").alias("_raw"),
+        )
+        .filter((F.col("n") > 100) & (F.col("_raw") > 1000000))
+        .drop("_raw")
+    )
+
+
+@register(
+    "salted_skew_agg",
+    """
+    SELECT l_returnflag, count(*) AS cnt, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_skew_agg(spark, sf_dir):
+    """Two-phase salted aggregation (explicit skew pattern): phase 1
+    groups by (key, salt16), phase 2 merges. Identical result to the
+    plain GROUP BY oracle — the point is the shape: no single reducer
+    ever sees all rows of a hot key."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("l_quantity").alias("_s")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_c").alias("cnt"), F.sum("_s").alias("sum_qty")
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    """CDC/SCD-style 'current row per key' (the emulated MERGE INTO
+    upsert read-side: reference checkpoint upsert semantics,
+    src/watcher/watcher.rs:35-89, as a query)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, round(o_totalprice, 2) AS v
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), new AS (
+      SELECT o_orderkey AS k,
+             round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END, 2) AS v
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT coalesce(old.k, new.k) AS k,
+           CASE WHEN old.k IS NULL THEN 'added'
+                WHEN new.k IS NULL THEN 'removed'
+                WHEN old.v <> new.v THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """CDC classification over two catalog snapshots — the reference's
+    WatcherEvent translation (FileDiscovered/FileRotated/FileRemoved,
+    src/watcher/events.rs:18-65) as a full-outer-join diff tagged with
+    when/otherwise. Snapshots here are deterministic slices of orders."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("v")
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("v"),
+    )
+    j = old.alias("old").join(new.alias("new"), F.col("old.k") == F.col("new.k"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("old.k"), F.col("new.k")).alias("k"),
+        F.when(F.col("old.k").isNull(), "added")
+        .when(F.col("new.k").isNull(), "removed")
+        .when(F.col("old.v") != F.col("new.v"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )

@@ -1,0 +1,116 @@
+"""Table-format seam: the pipeline reads/writes through this catalog
+so the storage format is swappable without touching stage code
+(SURVEY.md §7.0, ADR invariant 5: 'storage-agnostic logic').
+
+Two implementations:
+
+* ``ParquetCatalog`` — plain parquet directories + the LineageStore
+  manifest as the commit protocol. Always available; what tests and
+  this sandbox use.
+* ``IcebergCatalog`` — real Iceberg tables when the Spark runtime jar
+  is on the classpath (`spark.sql.catalog...` configured). Snapshot
+  ids become real snapshot ids, incremental reads use
+  ``option("start-snapshot-id", ...)``, and the routed/rollup writes
+  become atomic table commits. Constructing it without the jar raises
+  ImportError-like RuntimeError — callers fall back to parquet.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog(ABC):
+    @abstractmethod
+    def read(self, spark: SparkSession, name: str) -> DataFrame: ...
+
+    @abstractmethod
+    def append(self, df: DataFrame, name: str, partition_by: list[str]) -> None: ...
+
+    @abstractmethod
+    def overwrite_partitions(
+        self, df: DataFrame, name: str, partition_by: list[str]
+    ) -> None: ...
+
+
+class ParquetCatalog(TableCatalog):
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def read(self, spark, name):
+        return spark.read.parquet(self._path(name))
+
+    def append(self, df, name, partition_by=()):
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def overwrite_partitions(self, df, name, partition_by=()):
+        # requires spark.sql.sources.partitionOverwriteMode=dynamic
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+
+def _iceberg_available(spark: SparkSession, catalog_name: str) -> bool:
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
+        if not impl:
+            return False
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCatalog(TableCatalog):
+    """Iceberg-backed tables (requires iceberg-spark-runtime jar)."""
+
+    def __init__(self, spark: SparkSession, catalog_name: str = "ves"):
+        if not _iceberg_available(spark, catalog_name):
+            raise RuntimeError(
+                "Iceberg Spark runtime not on classpath / catalog not "
+                f"configured (spark.sql.catalog.{catalog_name}); use "
+                "ParquetCatalog"
+            )
+        self.catalog = catalog_name
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
+
+    def read(self, spark, name):
+        return spark.read.format("iceberg").load(self._tbl(name))
+
+    def read_incremental(
+        self, spark, name: str, start_snapshot_id: int, end_snapshot_id: int | None = None
+    ):
+        r = spark.read.format("iceberg").option(
+            "start-snapshot-id", str(start_snapshot_id)
+        )
+        if end_snapshot_id is not None:
+            r = r.option("end-snapshot-id", str(end_snapshot_id))
+        return r.load(self._tbl(name))
+
+    def append(self, df, name, partition_by=()):
+        df.writeTo(self._tbl(name)).append()
+
+    def overwrite_partitions(self, df, name, partition_by=()):
+        df.writeTo(self._tbl(name)).overwritePartitions()
+
+
+def get_catalog(spark: SparkSession, root: str, prefer_iceberg: bool = True) -> TableCatalog:
+    if prefer_iceberg:
+        try:
+            return IcebergCatalog(spark)
+        except RuntimeError:
+            pass
+    return ParquetCatalog(root)

@@ -23,18 +23,79 @@ HOT_SHARE = 0.40  # src-hot ≈ 40% of rows — exercises skew handling
 MIN_LEN, MAX_LEN = 8, 512
 
 
+_DRAW_BLOCK = 32_000_000
+
+
+def _pretouch(arr: np.ndarray, n_threads: int = 32) -> None:
+    """Fault-in a fresh buffer's pages from many threads.
+
+    This sandbox VM serves first-touch page faults through a host
+    handler at ~6 MB/s per thread but scales linearly with threads
+    (measured: 400 MB memset 29 s single-threaded, 0.07 s with 32
+    threads). ctypes.memset releases the GIL, so a thread pool striping
+    over the buffer parallelizes the faults.
+    """
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = arr.nbytes
+    if n < 1 << 24:
+        arr.view(np.uint8).fill(0)
+        return
+    addr = arr.ctypes.data
+    stripe = (n + n_threads - 1) // n_threads
+    with ThreadPoolExecutor(n_threads) as ex:
+        list(
+            ex.map(
+                lambda i: ctypes.memset(
+                    addr + i * stripe, 0, min(stripe, n - i * stripe)
+                ),
+                range(n_threads),
+            )
+        )
+
+
+def _rand_u32(rng: np.random.Generator, size: int) -> np.ndarray:
+    # VM-specific pathologies worked around here (all measured):
+    # 1. bounded rng.integers(lo, hi) takes the Lemire path whose
+    #    64x64->128-bit multiplies run ~100x slow — so draw full-range
+    #    uint32 and modulo outside (bias < 2^-16, irrelevant here);
+    # 2. first-touch page faults are ~6 MB/s single-threaded — so
+    #    pre-fault the output buffer in parallel (_pretouch) and fill
+    #    sequentially (RNG stream stays deterministic);
+    # 3. fill in 32M-value blocks to bound the generator's own
+    #    temporary allocations.
+    out = np.empty(size, dtype=np.uint32)
+    _pretouch(out)
+    for lo in range(0, size, _DRAW_BLOCK):
+        hi = min(lo + _DRAW_BLOCK, size)
+        out[lo:hi] = rng.integers(0, 2**32, size=hi - lo, dtype=np.uint32)
+    return out
+
+
 def _sequences_chunk(rng: np.random.Generator, start: int, n_rows: int) -> pa.Table:
-    lengths = rng.integers(MIN_LEN, MAX_LEN + 1, size=n_rows).astype(np.int32)
+    # All large arrays are computed IN PLACE on the pre-touched draw
+    # buffers and reinterpreted as int32 views (values < 2^31, so the
+    # uint32->int32 view is bit-exact) — fresh allocations page-fault
+    # at ~6 MB/s on this VM (see _pretouch).
+    raw_len = _rand_u32(rng, n_rows)
+    np.remainder(raw_len, MAX_LEN - MIN_LEN + 1, out=raw_len)
+    raw_len += MIN_LEN
+    lengths = raw_len.view(np.int32)
     total = int(lengths.sum())
-    values = rng.integers(0, VOCAB, size=total, dtype=np.int32)
+    raw_vals = _rand_u32(rng, total)
+    np.remainder(raw_vals, VOCAB, out=raw_vals)
+    values = raw_vals.view(np.int32)
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values))
 
     # Zipf-skewed source: src-hot gets HOT_SHARE, rest uniform.
-    probs = np.full(len(SOURCES), (1.0 - HOT_SHARE) / (len(SOURCES) - 1))
-    probs[0] = HOT_SHARE
-    src_idx = rng.choice(len(SOURCES), size=n_rows, p=probs)
+    u = _rand_u32(rng, n_rows).astype(np.float64) / 2**32
+    rest = (u - HOT_SHARE) / (1.0 - HOT_SHARE) * (len(SOURCES) - 1)
+    src_idx = np.where(
+        u < HOT_SHARE, 0, 1 + np.minimum(rest, len(SOURCES) - 2).astype(np.int64)
+    ).astype(np.int64)
     sources = pa.array(np.array(SOURCES, dtype=object)[src_idx])
 
     doc_ids = pa.array([f"doc-{i:012d}" for i in range(start, start + n_rows)])
