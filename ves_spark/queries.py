@@ -906,7 +906,7 @@ def asof_join_last_order(spark, sf_dir):
     ), brk AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS is_new
+                       OR ts - prev_ts > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_new
       FROM lagged
     ), sess AS (
       SELECT user_id, event_id,
@@ -928,7 +928,7 @@ def sessionization(spark, sf_dir):
         "is_new",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800.0),
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 1800 SECOND")),
             1,
         ).otherwise(0),
     )
