@@ -88,10 +88,88 @@ def test_lineage_metrics(spark, fix, tmp_path_factory):
     p = Pipeline(spark, _conf(fix, out, "run-m"))
     p.run()
     lin = p.store.read(spark).toPandas()
-    assert set(lin["stage"]) == {"route"}
-    assert lin["rows"].sum() == p.routed().count()
+    # ingest rows (file discovery write-ahead) + route commit rows
+    assert set(lin["stage"]) == {"ingest", "route"}
+    route_lin = lin[lin["stage"] == "route"]
+    assert route_lin["rows"].sum() == p.routed().count()
     # bytes metric = 4 * sum(n_tok) over routed rows (TailerPayload.size analogue)
     import pyspark.sql.functions as F
 
     sum_bytes = p.routed().select(F.sum(F.col("n_tok").cast("long") * 4)).collect()[0][0]
-    assert lin["bytes"].sum() == sum_bytes
+    assert route_lin["bytes"].sum() == sum_bytes
+
+
+def test_growing_input_exactly_once(spark, tmp_path_factory):
+    """The reference's rescan semantic (discovery.rs:56-87): rows
+    appended AFTER a full run are discovered as a new ingest batch and
+    processed exactly once — incremental output over the growing input
+    equals a single-shot run over the union (zero dupes, zero losses),
+    including through a crash mid-second-batch."""
+    from ves_spark.synth import append_sequences
+
+    fix = str(tmp_path_factory.mktemp("grow_fix"))
+    write_fixture(fix, 8_000, seed=11, sequences_as_dir=True)
+
+    out = str(tmp_path_factory.mktemp("grow_out"))
+    p1 = Pipeline(spark, _conf(fix, out, "run-1"))
+    assert p1.run()["units_processed"] == 8
+
+    # input grows: a second part file appears
+    append_sequences(fix, 6_000, seed=12, start_row=8_000)
+
+    # crash mid-way through the new batch, then resume
+    crashy = Pipeline(spark, _conf(fix, out, "run-2"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        crashy.run(fail_after_units=2)
+    resumed = Pipeline(spark, _conf(fix, out, "run-3"))
+    stats = resumed.run()
+    assert 0 < stats["units_processed"] <= 8  # only batch-1 remainder
+
+    # single-shot over the union (both files present from the start)
+    single = Pipeline(
+        spark, _conf(fix, str(tmp_path_factory.mktemp("grow_single")), "run-s")
+    )
+    assert single.run()["units_processed"] == 8  # one batch, union input
+
+    assert_same_rows(_routed_pdf(resumed), _routed_pdf(single))
+    cols = ["sink", "source", "time_bucket", "cnt", "sum_n_tok", "sum_bytes"]
+    assert_same_rows(
+        resumed.finalize_rollup().toPandas()[cols],
+        single.finalize_rollup().toPandas()[cols],
+    )
+
+    # third run: nothing new -> no-op
+    assert Pipeline(spark, _conf(fix, out, "run-4")).run()["units_processed"] == 0
+
+
+def test_input_scanned_once_per_increment(spark, fix, tmp_path_factory):
+    """Regression for the round-1 double-execution bug: lineage metrics
+    must come from the written partials, not a second execution of the
+    transform. A non-deterministic (hence non-duplicable) counting UDF
+    on the input measures how many input rows the transform actually
+    processed — exactly once per row."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count_rows(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    counted = F.pandas_udf(_count_rows, "int").asNondeterministic()
+
+    orig = Pipeline.transform
+
+    def patched(self, seq):
+        return orig(self, seq.withColumn("n_tok", counted("n_tok")))
+
+    out = str(tmp_path_factory.mktemp("once"))
+    p = Pipeline(spark, _conf(fix, out, "run-once"))
+    try:
+        Pipeline.transform = patched
+        p.run()
+    finally:
+        Pipeline.transform = orig
+    n_input = spark.read.parquet(os.path.join(fix, "sequences.parquet")).count()
+    assert acc.value == n_input, f"input scanned {acc.value / n_input:.2f}x"

@@ -20,12 +20,24 @@ src/watcher/models.rs:46-58, hardened by ADR/Watcher/
      the seam; an Iceberg catalog implementation drops in by replacing
      the parquet read/append (see sources/catalog.py).
 
-Work units are doc_id hash-buckets (``unit_id = pmod(xxhash64(doc_id),
-n_units)``) — the Spark analogue of "one file/inode": stable identity,
-uniform size, independent of physical file layout. Resume is the
-reference's dedup-by-identity anti-join (discovery.rs:33-35, 71-73):
+Work units are (batch_seq, doc_id hash-bucket) pairs:
 
-    todo = all_units LEFT ANTI JOIN committed_lineage
+* ``batch_seq`` is an ingest batch — a set of input files discovered
+  together, recorded write-ahead in the ingest log before any of its
+  rows are processed (the reference's rescan-every-5s discovery loop,
+  src/watcher/discovery.rs:56-87: new inodes become new tail jobs,
+  known inodes are skipped). Data appended to the input AFTER a full
+  run forms a new batch and is processed exactly once — the
+  reference's core semantic of exactly-once per record *as data keeps
+  arriving*, not just per static dataset.
+* ``unit_id = pmod(xxhash64(doc_id), n_units)`` subdivides a batch —
+  the Spark analogue of "one file/inode": stable identity, uniform
+  size, independent of physical file layout.
+
+Resume is the reference's dedup-by-identity anti-join
+(discovery.rs:33-35, 71-73):
+
+    todo = (batches x units) LEFT ANTI JOIN committed_lineage
 """
 
 from __future__ import annotations
@@ -63,6 +75,7 @@ class LineageStore:
         [
             ("run_id", pa.string()),
             ("stage", pa.string()),
+            ("batch_seq", pa.int32()),
             ("unit_id", pa.int32()),
             ("source", pa.string()),
             ("rows", pa.int64()),
@@ -78,11 +91,26 @@ class LineageStore:
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         for r in rows:
             r.setdefault("committed_at", now)
+            r.setdefault("batch_seq", 0)
         tbl = pa.Table.from_pylist(rows, schema=self._SCHEMA)
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
         final = os.path.join(self.path, f"commit-{uuid.uuid4().hex}.parquet")
         pq.write_table(tbl, tmp)
+        # Durability, not just atomicity (ADR invariant 2 covers power
+        # loss, not only process crashes): fsync the data before the
+        # rename, and the directory entry after it — the same protocol
+        # an Iceberg metadata commit relies on.
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.rename(tmp, final)  # atomic publish
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _files(self) -> list[str]:
         return [
@@ -97,25 +125,66 @@ class LineageStore:
             return None
         return spark.read.parquet(*files)
 
-    def committed_units(self, spark, stage: str = "route") -> set[int]:
+    def committed_units(
+        self, spark, batch_seq: int | None = None, stage: str = "route"
+    ) -> set[int]:
         df = self.read(spark)
         if df is None:
             return set()
+        df = df.filter(F.col("stage") == stage)
+        if batch_seq is not None:
+            df = df.filter(F.col("batch_seq") == batch_seq)
+        rows = df.select("unit_id").distinct().collect()
+        return {r["unit_id"] for r in rows}
+
+    # ------------------------------------------------------ ingest log
+    # Discovery state: which input files belong to which ingest batch.
+    # Written WRITE-AHEAD (before any row of the batch is processed) so
+    # a crash between discovery and processing cannot orphan the
+    # file→batch assignment — the reference persists checkpoint entries
+    # before tailing starts (src/watcher/watcher.rs:35-89).
+
+    def record_ingest(self, batch_seq: int, files: list[str], run_id: str) -> None:
+        self.append(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": "ingest",
+                    "batch_seq": batch_seq,
+                    "unit_id": -1,
+                    "source": f,
+                    "rows": 0,
+                    "bytes": os.path.getsize(f) if os.path.exists(f) else 0,
+                    "snapshot_id": batch_seq,
+                }
+                for f in files
+            ]
+        )
+
+    def ingest_batches(self, spark) -> dict[int, list[str]]:
+        """batch_seq -> sorted input files, from the ingest log."""
+        df = self.read(spark)
+        if df is None:
+            return {}
         rows = (
-            df.filter(F.col("stage") == stage)
-            .select("unit_id")
+            df.filter(F.col("stage") == "ingest")
+            .select("batch_seq", "source")
             .distinct()
             .collect()
         )
-        return {r["unit_id"] for r in rows}
+        out: dict[int, list[str]] = {}
+        for r in rows:
+            out.setdefault(int(r["batch_seq"]), []).append(r["source"])
+        return {k: sorted(v) for k, v in out.items()}
 
 
 def pending_units(
-    spark, store: LineageStore, n_units: int, stage: str = "route"
+    spark, store: LineageStore, n_units: int, batch_seq: int = 0, stage: str = "route"
 ) -> list[int]:
-    """All units minus committed — the anti-join, computed on unit ids
-    (n_units is small; the expensive anti-join happens implicitly by
-    never reading committed units' rows at all, which beats a row-level
-    anti-join at 100 TB: pruning >> filtering)."""
-    done = store.committed_units(spark, stage)
+    """All units minus committed for one batch — the anti-join,
+    computed on unit ids (n_units is small; the expensive anti-join
+    happens implicitly by never reading committed units' rows at all,
+    which beats a row-level anti-join at 100 TB: pruning >>
+    filtering)."""
+    done = store.committed_units(spark, batch_seq, stage)
     return [u for u in range(n_units) if u not in done]

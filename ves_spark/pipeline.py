@@ -1,29 +1,45 @@
 """Pipeline driver: the reference's run loop (SURVEY.md §3.4), batch +
-resumable.
+resumable + incremental over growing input.
 
-Per increment (a batch of doc_id hash-bucket units):
+Per run:
 
-    read input (only pending units)        # discovery + anti-join dedup
-      -> parse -> enrich -> route          # the normalization stages
-      -> write routed rows per (sink, unit)     [dynamic partition overwrite]
-      -> write per-unit rollup partials
-      -> append lineage rows  (LAST — ADR write-ahead invariant 4)
+    discover input files -> assign NEW files to a new ingest batch
+      (recorded write-ahead in the lineage store — the reference's
+      rescan loop, src/watcher/discovery.rs:56-87: new inodes become
+      new jobs, known inodes are skipped)
+    for each (batch, pending unit subset) increment:
+      read ONLY that batch's files, scoped to pending units
+        -> parse -> enrich -> route          # the normalization stages
+        -> delete orphaned (batch, unit) output partitions   [crash cleanup]
+        -> write routed rows per (batch, unit, sink)
+        -> write per-unit rollup partials
+        -> append lineage rows  (LAST — ADR write-ahead invariant 4)
 
-A killed run resumes by recomputing pending = all_units − committed
-(reference dedup-by-inode, discovery.rs:33-35). Orphaned output from a
-crashed increment is overwritten — never double-counted — because
-writes are scoped to the unit's partition directories and a unit only
-counts once its lineage row exists.
+A killed run resumes by recomputing pending = (batches × units) −
+committed (reference dedup-by-inode, discovery.rs:33-35). Data
+appended to the input AFTER a full run forms a new batch and is
+processed exactly once — exactly-once per record as data keeps
+arriving, not just per static dataset.
+
+All data reads/writes go through the ``TableCatalog`` seam
+(sources/catalog.py): parquet directories here; Iceberg tables (file
+discovery becomes snapshot-incremental reads, partition deletes become
+table DELETEs) when the runtime jar is present.
 
 Scale notes (local[N] here, 1000 executors in production):
-* Unit selection in production is Iceberg partition pruning on a
-  bucket(doc_id) partition of the table — metadata-only. On raw
-  parquet fixtures it degrades to a scan-filter; semantics identical.
+* Discovery is a file listing (metadata-only); with Iceberg it is a
+  snapshot diff. Unit selection within a batch is partition pruning on
+  a bucket(doc_id) layout — on raw parquet it degrades to a
+  scan-filter; semantics identical.
 * The whole parse→enrich→route path is one narrow stage: no shuffle
   anywhere before the per-sink writes (parse is a projection, enrich a
   broadcast join, route a projection+explode). A 100 TB run shuffles
   exactly once — the rollup groupBy — and that shuffle carries only
   map-side partials.
+* The transform executes ONCE per increment: partials are computed
+  from the just-written routed parquet (columnar, pruned to the agg
+  columns) and lineage metrics are an aggregate of the partials —
+  never a second pass over the input.
 * ``repartition(write_partitions, doc_id)`` before the write gives the
   bucketed-by-doc_id layout the north_star mandates and bounds file
   counts; sizes scale by configuring units × write_partitions, not by
@@ -32,16 +48,18 @@ Scale notes (local[N] here, 1000 executors in production):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ves_spark.checkpoint import LineageStore, pending_units, unit_col
+from ves_spark.checkpoint import LineageStore, unit_col
 from ves_spark.enrich import enrich
 from ves_spark.parse import parse
 from ves_spark.route import route
+from ves_spark.sources.catalog import get_catalog
 
 
 @dataclass
@@ -55,6 +73,7 @@ class PipelineConfig:
     parse_impl: str = "builtin"  # 'builtin' | 'arrow'
     write_partitions: int = 0  # 0 = one output partition per unit
     run_id: str = "run-0"
+    prefer_iceberg: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -63,9 +82,48 @@ class Pipeline:
         self.spark = spark
         self.conf = conf
         self.store = LineageStore(f"{conf.out_dir}/lineage")
+        self.catalog = get_catalog(spark, conf.out_dir, conf.prefer_iceberg)
         # Overwrite only the partitions present in the written frame —
-        # the mechanism that makes crashed-increment output harmless.
+        # with the explicit pre-delete this makes crashed-increment
+        # output harmless regardless of sink-set changes.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -------------------------------------------------------- discovery
+    def _list_input_files(self) -> list[str]:
+        """Current input files (sorted). A single-file path is one
+        'inode'; a directory is scanned non-recursively — appended
+        part files are the growth vector (reference: new files under
+        log_dir, src/watcher/discovery.rs:90-116)."""
+        p = self.conf.sequences_path
+        if os.path.isfile(p):
+            return [os.path.abspath(p)]
+        return sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    def discover(self) -> list[tuple[int, list[str], list[int]]]:
+        """(batch_seq, files, pending_units) for every batch with work.
+
+        New files are assigned to a fresh batch and recorded in the
+        ingest log BEFORE any processing (write-ahead), so the
+        file→batch mapping survives a crash between discovery and the
+        first increment."""
+        batches = self.store.ingest_batches(self.spark)
+        known = {f for fs in batches.values() for f in fs}
+        new_files = [f for f in self._list_input_files() if f not in known]
+        if new_files:
+            seq = max(batches, default=-1) + 1
+            self.store.record_ingest(seq, new_files, self.conf.run_id)
+            batches[seq] = new_files
+        work = []
+        for seq in sorted(batches):
+            done = self.store.committed_units(self.spark, seq)
+            pending = [u for u in range(self.conf.n_units) if u not in done]
+            if pending:
+                work.append((seq, batches[seq], pending))
+        return work
 
     # ------------------------------------------------------------ stages
     def transform(self, seq: DataFrame) -> DataFrame:
@@ -76,29 +134,30 @@ class Pipeline:
         enriched = enrich(parsed, meta)
         return route(enriched, rules)
 
-    def _read_units(self, units: list[int]) -> DataFrame:
-        seq = self.spark.read.parquet(self.conf.sequences_path)
+    def _read_units(self, files: list[str], units: list[int]) -> DataFrame:
+        seq = self.catalog.read_files(self.spark, files)
         seq = seq.withColumn("unit_id", unit_col(self.conf.n_units))
         return seq.filter(F.col("unit_id").isin(units))
 
     # ------------------------------------------------------------- run
     def run(self, fail_after_units: int | None = None) -> dict:
-        """Process all pending units in increments; returns run stats.
+        """Discover + process all pending (batch, unit) work in
+        increments; returns run stats.
 
         ``fail_after_units`` simulates a crash (tests): raises after
         that many units have committed, mid-run.
         """
         t0 = time.monotonic()
-        todo = pending_units(self.spark, self.store, self.conf.n_units)
         n_done = 0
         rows_total = 0
         step = self.conf.units_per_increment
-        for i in range(0, len(todo), step):
-            batch = todo[i : i + step]
-            rows_total += self._process_increment(batch)
-            n_done += len(batch)
-            if fail_after_units is not None and n_done >= fail_after_units:
-                raise RuntimeError(f"simulated crash after {n_done} units")
+        for batch_seq, files, pending in self.discover():
+            for i in range(0, len(pending), step):
+                units = pending[i : i + step]
+                rows_total += self._process_increment(batch_seq, files, units)
+                n_done += len(units)
+                if fail_after_units is not None and n_done >= fail_after_units:
+                    raise RuntimeError(f"simulated crash after {n_done} units")
         return {
             "run_id": self.conf.run_id,
             "units_processed": n_done,
@@ -106,44 +165,59 @@ class Pipeline:
             "wall_sec": time.monotonic() - t0,
         }
 
-    def _process_increment(self, units: list[int]) -> int:
+    def _process_increment(
+        self, batch_seq: int, files: list[str], units: list[int]
+    ) -> int:
         conf = self.conf
-        routed = self.transform(self._read_units(units))
+        routed = self.transform(self._read_units(files, units)).withColumn(
+            "batch_seq", F.lit(batch_seq)
+        )
+
+        # Unit-scoped crash cleanup: these (batch, unit) partitions have
+        # no lineage row, so anything under them is an orphan from a
+        # crashed increment — possibly written under OLD route rules
+        # with a different sink set. Delete before rewriting.
+        stale = [{"batch_seq": batch_seq, "unit_id": u} for u in units]
+        self.catalog.delete_partitions("routed", stale)
+        self.catalog.delete_partitions("rollup_partial", stale)
 
         nparts = conf.write_partitions or len(units)
         out = routed.repartition(nparts, "doc_id")  # bucketed write on doc_id
-        (
-            out.write.mode("overwrite")
-            .partitionBy("unit_id", "sink")
-            .parquet(f"{conf.out_dir}/routed")
+        self.catalog.overwrite_partitions(
+            out, "routed", ["batch_seq", "unit_id", "sink"]
         )
 
         # Rollup partials per unit — algebraic, so the final rollup is a
-        # sum over partials (finalize_rollup).
-        routed_back = self.spark.read.parquet(f"{conf.out_dir}/routed").filter(
-            F.col("unit_id").isin(units)
+        # sum over partials (finalize_rollup). Computed from the
+        # just-written routed parquet (columnar, pruned scan) — the
+        # transform itself is never executed a second time.
+        routed_back = (
+            self.catalog.read(self.spark, "routed")
+            .filter(F.col("batch_seq") == batch_seq)
+            .filter(F.col("unit_id").isin(units))
         )
-        partials = (
-            routed_back.groupBy("unit_id", "sink", "source", "time_bucket").agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
-                F.sum(F.col("n_tok").cast("long") * 4).alias("sum_bytes"),
-            )
+        partials = routed_back.groupBy(
+            "batch_seq", "unit_id", "sink", "source", "time_bucket"
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"),
+            F.sum(F.col("n_tok").cast("long") * 4).alias("sum_bytes"),
         )
-        (
-            partials.repartition(1)
-            .write.mode("overwrite")
-            .partitionBy("unit_id")
-            .parquet(f"{conf.out_dir}/rollup_partial")
+        self.catalog.overwrite_partitions(
+            partials.repartition("unit_id"),
+            "rollup_partial",
+            ["batch_seq", "unit_id"],
         )
 
-        # Metrics + lineage — committed LAST (write-ahead invariant 4).
+        # Metrics + lineage — derived from the (tiny, on-disk) partials,
+        # then committed LAST (write-ahead invariant 4). One driver
+        # collect of per-(unit, source) rows — bounded cardinality.
         metrics = (
-            routed.groupBy("unit_id", "source")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.col("n_tok").cast("long") * 4).alias("bytes"),
-            )
+            self.catalog.read(self.spark, "rollup_partial")
+            .filter(F.col("batch_seq") == batch_seq)
+            .filter(F.col("unit_id").isin(units))
+            .groupBy("unit_id", "source")
+            .agg(F.sum("cnt").alias("rows"), F.sum("sum_bytes").alias("bytes"))
             .collect()
         )
         snapshot_id = int(time.time() * 1000)
@@ -151,6 +225,7 @@ class Pipeline:
             {
                 "run_id": conf.run_id,
                 "stage": "route",
+                "batch_seq": batch_seq,
                 "unit_id": int(m["unit_id"]),
                 "source": m["source"],
                 "rows": int(m["rows"]),
@@ -168,6 +243,7 @@ class Pipeline:
                     {
                         "run_id": conf.run_id,
                         "stage": "route",
+                        "batch_seq": batch_seq,
                         "unit_id": u,
                         "source": None,
                         "rows": 0,
@@ -180,7 +256,7 @@ class Pipeline:
 
     # -------------------------------------------------------- finalize
     def routed(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.conf.out_dir}/routed")
+        return self.catalog.read(self.spark, "routed")
 
     def finalize_rollup(self) -> DataFrame:
         """Merge per-unit partials into the final rollup (counts/sums —
@@ -188,7 +264,7 @@ class Pipeline:
         table. Percentile merge over partials would need sketch
         serialization; reading routed (already columnar, pruned to
         n_tok) is the simpler exact-enough finalize at any scale."""
-        partials = self.spark.read.parquet(f"{self.conf.out_dir}/rollup_partial")
+        partials = self.catalog.read(self.spark, "rollup_partial")
         exact = partials.groupBy("sink", "source", "time_bucket").agg(
             F.sum("cnt").alias("cnt"),
             F.sum("sum_n_tok").alias("sum_n_tok"),

@@ -1,6 +1,9 @@
-"""Table-format seam: the pipeline reads/writes through this catalog
-so the storage format is swappable without touching stage code
-(SURVEY.md §7.0, ADR invariant 5: 'storage-agnostic logic').
+"""Table-format seam: ``Pipeline`` reads and writes its data tables
+(routed, rollup_partial, and the scoped input reads) through this
+catalog, so the storage format is swappable without touching stage
+code (SURVEY.md §7.0, ADR invariant 5: 'storage-agnostic logic').
+The LineageStore remains the commit manifest — the parquet-world
+moral equivalent of Iceberg table metadata.
 
 Two implementations:
 
@@ -27,12 +30,24 @@ class TableCatalog(ABC):
     def read(self, spark: SparkSession, name: str) -> DataFrame: ...
 
     @abstractmethod
+    def read_files(self, spark: SparkSession, paths: list[str]) -> DataFrame: ...
+
+    @abstractmethod
     def append(self, df: DataFrame, name: str, partition_by: list[str]) -> None: ...
 
     @abstractmethod
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_by: list[str]
     ) -> None: ...
+
+    @abstractmethod
+    def delete_partitions(self, name: str, parts: list[dict]) -> None:
+        """Drop whole partitions; each dict is an ordered prefix of the
+        table's partition columns (e.g. {'batch_seq': 0, 'unit_id': 3}).
+        Used for unit-scoped crash cleanup: orphaned output from an
+        uncommitted increment is removed BEFORE rewriting, so recovery
+        holds even if the sink set or route rules changed between the
+        crashed run and the resume."""
 
 
 class ParquetCatalog(TableCatalog):
@@ -44,6 +59,16 @@ class ParquetCatalog(TableCatalog):
 
     def read(self, spark, name):
         return spark.read.parquet(self._path(name))
+
+    def read_files(self, spark, paths):
+        return spark.read.parquet(*paths)
+
+    def delete_partitions(self, name, parts):
+        import shutil
+
+        for spec in parts:
+            sub = "/".join(f"{k}={v}" for k, v in spec.items())
+            shutil.rmtree(f"{self._path(name)}/{sub}", ignore_errors=True)
 
     def append(self, df, name, partition_by=()):
         w = df.write.mode("append")
@@ -89,6 +114,20 @@ class IcebergCatalog(TableCatalog):
 
     def read(self, spark, name):
         return spark.read.format("iceberg").load(self._tbl(name))
+
+    def read_files(self, spark, paths):
+        # Iceberg inputs are addressed by snapshot, not file list —
+        # discovery maps to read_incremental(start_snapshot_id); a raw
+        # file-list read still works for foreign parquet inputs.
+        return spark.read.parquet(*paths)
+
+    def delete_partitions(self, name, parts):
+        if not parts:
+            return
+        spark = SparkSession.getActiveSession()
+        for spec in parts:
+            where = " AND ".join(f"{k} = {v!r}" for k, v in spec.items())
+            spark.sql(f"DELETE FROM {self._tbl(name)} WHERE {where}")
 
     def read_incremental(
         self, spark, name: str, start_snapshot_id: int, end_snapshot_id: int | None = None

@@ -161,27 +161,59 @@ def make_route_rules() -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def write_fixture(out_dir: str, n_rows: int, seed: int = 42) -> dict[str, str]:
+def write_sequences_file(
+    path: str, n_rows: int, seed: int = 42, start_row: int = 0
+) -> str:
+    """One sequences parquet file (chunked writes, bounded RAM,
+    small-ish row groups: parquet splits at row-group boundaries, so
+    one giant row group would serialize the whole scan into a single
+    Spark task regardless of partition count)."""
+    rng = np.random.default_rng(seed)
+    writer = None
+    for start in range(0, n_rows, CHUNK_ROWS):
+        chunk = _sequences_chunk(
+            rng, start_row + start, min(CHUNK_ROWS, n_rows - start)
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(path, chunk.schema)
+        writer.write_table(chunk, row_group_size=16_384)
+    if writer is not None:
+        writer.close()
+    return path
+
+
+def append_sequences(
+    fix_dir: str, n_rows: int, seed: int, start_row: int, name: str = "part-append"
+) -> str:
+    """Append a new sequences file to a directory-layout fixture — the
+    growing-input vector (reference: a new file appearing under
+    log_dir between discovery rescans)."""
+    seq_dir = os.path.join(fix_dir, "sequences.parquet")
+    assert os.path.isdir(seq_dir), "append requires sequences_as_dir fixture"
+    return write_sequences_file(
+        os.path.join(seq_dir, f"{name}-{seed}.parquet"), n_rows, seed, start_row
+    )
+
+
+def write_fixture(
+    out_dir: str, n_rows: int, seed: int = 42, sequences_as_dir: bool = False
+) -> dict[str, str]:
     """Write the three tables as parquet; returns name->path.
 
-    ``sequences`` is generated and written chunk-by-chunk (bounded
-    RAM at any n_rows) with small-ish row groups: parquet splits at
-    row-group boundaries, so one giant row group would serialize the
-    whole scan into a single Spark task regardless of partition count.
+    ``sequences_as_dir=True`` writes sequences as a directory of part
+    files so tests can grow the input with ``append_sequences``.
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
 
     seq_path = os.path.join(out_dir, "sequences.parquet")
-    rng = np.random.default_rng(seed)
-    writer = None
-    for start in range(0, n_rows, CHUNK_ROWS):
-        chunk = _sequences_chunk(rng, start, min(CHUNK_ROWS, n_rows - start))
-        if writer is None:
-            writer = pq.ParquetWriter(seq_path, chunk.schema)
-        writer.write_table(chunk, row_group_size=16_384)
-    if writer is not None:
-        writer.close()
+    if sequences_as_dir:
+        os.makedirs(seq_path, exist_ok=True)
+        write_sequences_file(
+            os.path.join(seq_path, "part-00000.parquet"), n_rows, seed
+        )
+    else:
+        write_sequences_file(seq_path, n_rows, seed)
     paths["sequences"] = seq_path
 
     for name, tbl in (
