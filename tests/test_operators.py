@@ -144,3 +144,81 @@ def test_fingerprint_xxhash_variant(spark, docs):
     changed = (multi_word["fp"] != multi_word["fp_rev"]).mean()
     assert changed > 0.95
     assert (fp["fp"] >= 0).all() and (fp["fp"] < 1_000_000_007).all()
+
+
+def test_simhash_kernel_matches_rowwise_reference(spark, docs):
+    """The batch-vectorized kernel (flatten + one hash_array +
+    reduceat) must equal a straightforward per-row reference."""
+    import numpy as np
+    import pandas as pd
+
+    from ves_spark.operators.dedup import _simhash_kernel_fn
+
+    texts = docs.limit(200).toPandas()["text"]
+    texts = pd.concat([texts, pd.Series(["", "one", "a b a b"])], ignore_index=True)
+
+    def rowwise(text):
+        words = text.split()
+        if not words:
+            return 0
+        hs = pd.util.hash_array(np.asarray(words, dtype=object))
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    got = _simhash_kernel_fn(texts).tolist()
+    want = [rowwise(t) for t in texts]
+    assert got == want
+
+
+def test_simhash_near_pairs_complete_at_radius(spark, docs):
+    """Pigeonhole completeness: with blocks derived from the radius,
+    every pair within Hamming <= max_hamming is found — cross-checked
+    against brute-force hamming over the signatures (round-1 bug: 4
+    fixed blocks silently dropped distances 4-8)."""
+    from ves_spark.operators.dedup import simhash, simhash_near_pairs
+
+    base = docs.filter(F.size(F.split("text", " ")) >= 20).limit(150)
+    planted = base.unionAll(_mutate_drop_last_word(base, every=1))
+    found = simhash_near_pairs(planted, "text", "doc_id", max_hamming=8).toPandas()
+    sigs = simhash(planted, "text").toPandas()
+
+    import itertools
+
+    expect = set()
+    rows = list(zip(sigs["doc_id"], sigs["simhash"]))
+    for (ida, ha), (idb, hb) in itertools.combinations(rows, 2):
+        x = (int(ha) & (2**64 - 1)) ^ (int(hb) & (2**64 - 1))
+        if bin(x).count("1") <= 8:
+            expect.add((min(ida, idb), max(ida, idb)))
+    got = set(zip(found["id_a"], found["id_b"]))
+    assert got == expect
+    assert (found["hamming"] <= 8).all()
+
+
+def test_bucket_caps_bound_degenerate_clusters(spark):
+    """1k identical docs: uncapped LSH would emit ~500k candidate
+    pairs per band; the bucket cap bounds the join output while leaving
+    normal-sized buckets untouched."""
+    from ves_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    n = 1000
+    rows = [(i, "the same degenerate document body repeated verbatim") for i in range(n)]
+    rows += [(n + i, f"unique filler document number {i} with words {i * 7} and {i * 13}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(df, "text", "doc_id", max_bucket=32)
+    assert capped.count() <= 32 * 31 // 2 * 8  # per-band cap bound
+
+    sim_capped = simhash_near_pairs(df, "text", "doc_id", max_hamming=3, max_bucket=32)
+    assert sim_capped.count() <= 32 * 31 // 2 * 4
+
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.9, max_df=32)
+    # the degenerate cluster's stop-shingles are cut: no O(k^2) blowup
+    assert jac.count() <= 32 * 31 // 2 + 50

@@ -87,13 +87,17 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     rows/band r = n_hashes/bands; two docs collide in a band iff that
     r-slice of their signatures is identical — P(collide) = s^r for
     Jaccard s, the classic S-curve. Output: (id_a, id_b) candidate
-    pairs (id_a < id_b), deduped across bands.
+    pairs (id_a < id_b), deduped across bands. ``max_bucket`` drops
+    band buckets larger than the cap before the self-join (a cluster
+    of k identical docs otherwise emits O(k²) pairs in EVERY band —
+    route such clusters through exact dedup instead).
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
@@ -125,6 +129,7 @@ def minhash_lsh_candidates(
             )
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -174,21 +179,31 @@ def minhash_dedup_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs shingle Jaccard >= threshold via an inverted
     index: explode distinct shingles, self-join on shingle, count
     co-occurrences, then |A∩B| / (|A|+|B|-|A∩B|).
 
-    The self-join key is the shingle — at scale, drop ultra-frequent
-    shingles first (df-cut) to bound bucket sizes; here the filter
-    seam is ``max_df`` (disabled by default to keep oracle parity).
+    The self-join key is the shingle — at scale a stop-shingle blows
+    up the join, so ``max_df`` drops shingles appearing in more than
+    that many documents BEFORE the self-join (the classic df-cut;
+    intersections lose those shingles, making the jaccard a lower
+    bound — sound for >= threshold pruning of rare-shingle pairs).
+    Default None computes the exact statistic (oracle parity).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        sh = _cap_buckets(sh, ["s"], max_df)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -214,23 +229,39 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_kernel_fn(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word unigrams. Per Arrow batch: word hashes
-    via pandas' vectorized SipHash (``pd.util.hash_array``,
-    deterministic with the fixed default key), bit votes as one numpy
-    matrix op per document."""
+    """64-bit SimHash over word unigrams, batch-vectorized: the whole
+    Arrow batch's words are flattened into ONE ``pd.util.hash_array``
+    call (vectorized SipHash, deterministic with the fixed default
+    key), and per-document bit votes come from ``np.add.reduceat``
+    over the per-doc segments — no per-document Python loop, no
+    per-document allocations."""
+    import itertools
+
     import numpy as np
 
-    shifts = np.arange(64, dtype=np.uint64)
+    split = texts.fillna("").str.split()
+    counts = split.str.len().to_numpy(dtype=np.int64)
+    total = int(counts.sum())
     out = np.zeros(len(texts), dtype=np.int64)
-    for row, text in enumerate(texts):
-        words = text.split()
-        if not words:
-            continue
-        hs = pd.util.hash_array(np.asarray(words, dtype=object))
-        bits = ((hs[:, None] >> shifts) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-        out[row] = sim - (1 << 64) if sim >= (1 << 63) else sim
+    if total == 0:
+        return pd.Series(out)
+    flat = np.fromiter(
+        itertools.chain.from_iterable(split), dtype=object, count=total
+    )
+    hs = pd.util.hash_array(flat)  # one vectorized hash over the batch
+
+    ne = counts > 0  # reduceat segments must be non-empty
+    counts_ne = counts[ne]
+    offsets = np.zeros(len(counts_ne), dtype=np.int64)
+    np.cumsum(counts_ne[:-1], out=offsets[1:])
+    # 64 single-pass reduceats (one per bit) keep peak memory at one
+    # flat int64 array instead of a (words x 64) matrix.
+    packed = np.zeros(len(counts_ne), dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat(((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64), offsets)
+        votes = 2 * ones - counts_ne  # (+1 per set bit, -1 per clear)
+        packed |= (votes > 0).astype(np.uint64) << np.uint64(b)
+    out[ne] = packed.view(np.int64)  # two's-complement reinterpret
     return pd.Series(out)
 
 
@@ -239,31 +270,73 @@ def simhash(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("simhash", kernel(F.col(text_col)))
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def hamming_blocks(n_bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) block decomposition for the pigeonhole candidate
+    trick: with ``max_hamming + 1`` disjoint blocks covering all
+    ``n_bits``, any pair within Hamming ``max_hamming`` has at least
+    one block where NO differing bit landed — i.e. an exact block
+    match. Fewer blocks than ``max_hamming + 1`` silently lose recall
+    for distances >= n_blocks (the round-1 bug: 4 blocks with
+    max_hamming=8 dropped pairs whose 4-8 diffs spanned all blocks)."""
+    n_blocks = max_hamming + 1
+    assert n_blocks <= n_bits, "radius too large for the hash width"
+    base, extra = divmod(n_bits, n_blocks)
+    blocks, shift = [], 0
+    for b in range(n_blocks):
+        width = base + (1 if b < extra else 0)
+        blocks.append((shift, width))
+        shift += width
+    return blocks
+
+
+def _cap_buckets(keyed: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop bucket keys shared by more than ``max_bucket`` rows before
+    a bucket self-join: a degenerate bucket of k near-identical docs
+    otherwise emits O(k²) candidate pairs. Mega-cluster members are
+    still found by exact dedup / the other blocks; this bounds the
+    worst-case join output at scale."""
+    if max_bucket is None:
+        return keyed
+    sizes = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    return keyed.join(sizes, key_cols)
+
+
+def near_pairs_from_sig(
+    sigs: DataFrame,
+    id_col: str = "_id",
+    sig_col: str = "sig",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
-    the 4-block trick: split 64 bits into 4 blocks of 16; any pair
-    within Hamming 3 shares at least one exact block (pigeonhole), so
-    candidates come from equi-joins on block values, never O(n²)."""
-    s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    """(id_a, id_b, hamming) pairs with Hamming(sig) <= max_hamming
+    over any integer signature column, via the pigeonhole block join —
+    candidates from equi-joins on block values, never O(n²)."""
+    s = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    blks = hamming_blocks(n_bits, max_hamming)
     blocks = s.select(
         "_id",
-        "simhash",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_sig"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bv"),
                     )
-                    for b in range(4)
+                    for b, (shift, width) in enumerate(blks)
                 ]
             )
         ).alias("_b"),
-    ).select("_id", "simhash", "_b.blk", "_b.bv")
+    ).select("_id", "_sig", "_b.blk", "_b.bv")
+    blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
     l, r = blocks.alias("l"), blocks.alias("r")
     cands = (
         l.join(
@@ -275,13 +348,75 @@ def simhash_near_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+            F.col("l._sig").alias("ha"),
+            F.col("r._sig").alias("hb"),
         )
         .distinct()
     )
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
+    the pigeonhole block trick (see ``hamming_blocks``): candidates
+    come from equi-joins on block values, never O(n²). The block count
+    is derived from the radius, so recall is exact (every true pair is
+    a candidate). ``max_bucket`` bounds degenerate buckets."""
+    s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    return near_pairs_from_sig(
+        s, "_id", "simhash", 64, max_hamming, max_bucket
+    )
+
+
+def simhash_md5(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 60
+) -> DataFrame:
+    """Cross-engine SimHash variant: word hashes are the first
+    ``n_bits/4`` hex digits of md5(word) — reproducible in any engine
+    with md5 (the DuckDB oracle recomputes it digit-by-digit) — and
+    the whole computation is JVM columnar (explode words → md5 →
+    per-bit vote sums), zero Python. The production kernel
+    (``simhash``) uses vectorized SipHash instead; same algorithm,
+    different word-hash family. Returns (id, sig)."""
+    assert n_bits % 4 == 0 and n_bits <= 60  # sums of (1 << b) stay in long
+    ndig = n_bits // 4
+    words = F.split(F.col(text_col), " ")
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(words).alias("w"))
+    hx = ex.select("_id", F.md5("w").alias("hx"))
+    # digit values once, then 4 bit-votes per digit (codegen-friendly)
+    dv = hx.select(
+        "_id",
+        *[
+            F.conv(F.substring("hx", i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d{i}")
+            for i in range(ndig)
+        ],
+    )
+    votes = dv.groupBy("_id").agg(
+        *[
+            F.sum(
+                2 * F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) - 1
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("_id", sig.alias("sig"))

@@ -664,17 +664,56 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.2)
 
 
-@register("simhash_near_pairs", None)  # pandas-hash kernel: rows-only check
+@register(
+    "simhash_near_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d),
+    h AS (SELECT doc_id, md5(w) AS hx FROM w),
+    v AS (
+      SELECT doc_id, b,
+             sum(2 * (((strpos('0123456789abcdef', substr(hx, b // 4 + 1, 1)) - 1)
+                       >> (b % 4)) & 1) - 1) AS votes
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+      GROUP BY doc_id, b
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+      FROM v GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """,
+)
 def simhash_near_pairs_q(spark, sf_dir):
-    from ves_spark.operators.dedup import simhash_near_pairs
+    """SimHash near-pairs over the cross-engine md5-hex signature
+    (operators/dedup.py::simhash_md5), candidates via the
+    radius-derived pigeonhole block join. The DuckDB oracle recomputes
+    the signature digit-by-digit and brute-forces ALL pairs — so it
+    checks both the hash and the completeness of the block-join
+    candidate generation (the production SipHash kernel is covered by
+    pytest planted-pair completeness instead)."""
+    from ves_spark.operators.dedup import near_pairs_from_sig, simhash_md5
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    )
     # plant mutated near-dups: drop the last word of every 10th doc
-    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+    mutated = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").alias("text"),
     )
-    return simhash_near_pairs(d.unionAll(mutated), "text", "doc_id", max_hamming=8)
+    sigs = simhash_md5(d.unionAll(mutated), "text", "doc_id", n_bits=60)
+    return near_pairs_from_sig(sigs, "_id", "sig", n_bits=60, max_hamming=8)
 
 
 @register(
@@ -710,7 +749,67 @@ def cosine_topk_q(spark, sf_dir):
     return cosine_topk_bruteforce(queries_df, corpus, k=5)
 
 
-@register("ann_lsh_topk", None)  # approximate: validated vs brute force in pytest
+def _ann_lsh_oracle_sql(n_planes: int = 3, n_tables: int = 12, dim: int = 64) -> str:
+    """DuckDB replica of cosine_topk_lsh: the hyperplanes are seeded on
+    the driver and inlined as literals in BOTH engines (repr round-trips
+    doubles exactly), dots are double-cast sequential folds on both
+    sides, so bucket assignments — and therefore the candidate sets and
+    the final top-k — are bit-identical."""
+    from ves_spark.operators.similarity import _planes
+
+    tables = [_planes(dim, n_planes, 1234 + 7919 * t) for t in range(n_tables)]
+
+    def dot(vec: str, plane: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        return (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({lit})[i] "
+            f"FOR i IN range(1, {dim + 1})])"
+        )
+
+    def bucket(vec: str, planes: list[list[float]]) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {dot(vec, p)} > 0 THEN {1 << b} ELSE 0 END)"
+            for b, p in enumerate(planes)
+        ) + ")"
+
+    qb = "\n      UNION ALL ".join(
+        f"SELECT q_id, q_vec, {t} AS tbl, {bucket('q_vec', planes)} AS bkt FROM q"
+        for t, planes in enumerate(tables)
+    )
+    cb = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS c_id, embedding AS c_vec, {t} AS tbl, "
+        f"{bucket('embedding', planes)} AS bkt FROM embeddings"
+        for t, planes in enumerate(tables)
+    )
+    norm = (
+        "sqrt(list_sum([CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]))"
+    )
+    cos = (
+        f"list_sum([CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]) / ({norm.format(v='q_vec')} * {norm.format(v='c_vec')})"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+    ),
+    qb AS ({qb}),
+    cb AS ({cb}),
+    cand AS (
+      SELECT DISTINCT qb.q_id, cb.c_id, qb.q_vec, cb.c_vec
+      FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt
+      WHERE qb.q_id <> cb.c_id
+    ),
+    scored AS (SELECT q_id, c_id, round({cos}, 6) AS cos FROM cand)
+    SELECT q_id, c_id, cos, rnk FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle_sql())
 def ann_lsh_topk_q(spark, sf_dir):
     from ves_spark.operators.similarity import cosine_topk_lsh
 
@@ -831,11 +930,26 @@ def fingerprint_docs(spark, sf_dir):
     return d.select("doc_id", fp.alias("fp"))
 
 
-@register("multimodal_features", None)  # mapInPandas kernel: rows-only check
+@register(
+    "multimodal_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum([
+             (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1)
+             FOR i IN range(1, octet_length(encode(text)) + 1)]) % 1000000007
+           AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
 def multimodal_features_q(spark, sf_dir):
     """Binary-column plumbing: documents text encoded to binary stands
     in for media payloads; deterministic fake 'decode' extracts byte
-    histogram features map-side (no codec libs in this container)."""
+    histogram features map-side (no codec libs in this container).
+    Oracle: DuckDB recomputes n_bytes (octet_length of the utf-8
+    encoding) and the byte-sum checksum from hex(encode(text))."""
     from ves_spark.operators.multimodal import extract_features
 
     d = load(spark, sf_dir, "documents")

@@ -43,9 +43,9 @@ def stream_transform(
 def stream_rollup(routed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window rollup per (sink, source).
 
-    count/sum only: these merge incrementally in the state store.
-    Percentiles over a stream need a mergeable sketch UDAF; batch
-    finalize (pipeline.finalize_rollup) remains the percentile path.
+    count/sum only — these merge incrementally in the state store.
+    For percentiles over the stream use ``stream_rollup_hdr`` +
+    ``finalize_stream_percentiles`` (mergeable HDR histogram).
     """
     return (
         routed.withWatermark("ts", watermark)
@@ -61,6 +61,37 @@ def stream_rollup(routed: DataFrame, watermark: str = "10 minutes") -> DataFrame
             "cnt",
             "sum_n_tok",
         )
+    )
+
+
+def stream_rollup_hdr(
+    routed: DataFrame, watermark: str = "10 minutes", p: int = 7
+) -> DataFrame:
+    """Percentile-capable streaming rollup: a mergeable HDR histogram
+    per (window, sink, source) — just a watermarked groupBy with the
+    bucket as an extra key, so the state store merges it incrementally
+    and the shuffle carries only (key, bucket, count). Percentiles are
+    extracted downstream by ``finalize_stream_percentiles`` (the
+    reference's hdrhistogram intent, Cargo.toml:68)."""
+    from ves_spark.streaming.hdr import rollup_histogram
+
+    keyed = routed.withWatermark("ts", watermark).withColumn(
+        "win", F.window("ts", "5 minutes")
+    )
+    hist = rollup_histogram(keyed, ["win", "sink", "source"], "n_tok", p)
+    return hist.select(
+        F.col("win.start").alias("time_bucket"), "sink", "source", "bucket",
+        "cnt", "sum_v",
+    )
+
+
+def finalize_stream_percentiles(hist: DataFrame, p: int = 7) -> DataFrame:
+    """Batch bucket-walk over streamed histogram rows → per-group
+    (cnt, sum_v exact; p50/p95/p99 within 2^-p relative error)."""
+    from ves_spark.streaming.hdr import percentiles_from_histogram
+
+    return percentiles_from_histogram(
+        hist, ["time_bucket", "sink", "source"], p=p
     )
 
 
