@@ -99,6 +99,10 @@ def bench_pipeline(spark, fix_dir: str, n_rows: int) -> dict:
 
 
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Wall seconds per registered query (noop sink = full execution,
+    no collect). ALL registry queries are tracked so per-operator
+    regressions are visible round over round; headline queries run
+    first for comparability with earlier rounds."""
     from ves_spark import queries as qmod
 
     registry = qmod.queries()
@@ -107,9 +111,12 @@ def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         if name not in registry:
             continue
         t0 = time.monotonic()
-        df = registry[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        try:
+            df = registry[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.monotonic() - t0, 3)
+        except Exception as ex:  # a broken query must not hide the rest
+            out[name] = f"error: {type(ex).__name__}"
     return out
 
 
@@ -119,11 +126,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_rows = int(os.environ.get("VES_BENCH_ROWS", "2000000"))
-    qnames = (
-        os.environ.get("VES_BENCH_QUERIES", "").split(",")
-        if os.environ.get("VES_BENCH_QUERIES")
-        else HEADLINE_QUERIES
-    )
+    if os.environ.get("VES_BENCH_QUERIES"):
+        qnames = os.environ.get("VES_BENCH_QUERIES").split(",")
+    else:
+        from ves_spark import queries as qmod
+
+        qnames = HEADLINE_QUERIES + sorted(
+            set(qmod.queries()) - set(HEADLINE_QUERIES)
+        )
 
     fix_dir = _bench_input(n_rows)
 

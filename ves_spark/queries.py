@@ -1057,6 +1057,57 @@ def sessionization(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_events",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type, round(value, 4) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def merge_upsert_events(spark, sf_dir):
+    """Write-side MERGE (reference checkpoint upsert,
+    src/watcher/watcher.rs:35-89): apply the events table as TWO
+    successive update batches (even then odd event_ids) to an
+    upsert-maintained table keyed by user_id, then read the final
+    state back. The oracle is the pure latest-row-per-key over the
+    union — equality proves the partition-scoped emulated MERGE
+    composes correctly across batches."""
+    import shutil
+    import tempfile
+
+    from ves_spark.operators.upsert import merge_upsert, read_table
+    from ves_spark.sources.catalog import ParquetCatalog
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    root = f"{tempfile.gettempdir()}/ves_upsert_q_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = ParquetCatalog(root)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for batch in (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    ):
+        merge_upsert(
+            spark, cat, "state", batch, ["user_id"], "ts", tiebreak=["event_id"]
+        )
+    st = read_table(spark, cat, "state")
+    return st.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+@register(
     "scalar_subquery_outliers",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
