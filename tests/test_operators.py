@@ -222,3 +222,24 @@ def test_bucket_caps_bound_degenerate_clusters(spark):
     jac = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.9, max_df=32)
     # the degenerate cluster's stop-shingles are cut: no O(k^2) blowup
     assert jac.count() <= 32 * 31 // 2 + 50
+
+
+def test_ann_matmul_bucket_impl_recall(spark):
+    """The production (BLAS matmul) bucket assigner must be
+    recall-equivalent to the deterministic fold spec."""
+    from ves_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = cosine_topk_bruteforce(q, c, k=5).toPandas()
+    fast = cosine_topk_lsh(
+        q, c, k=5, n_planes=3, n_tables=12, dim=64, bucket_impl="matmul"
+    ).toPandas()
+    e_pairs = set(zip(exact["q_id"], exact["c_id"]))
+    f_pairs = set(zip(fast["q_id"], fast["c_id"]))
+    assert len(e_pairs & f_pairs) / len(e_pairs) >= 0.6
+    merged = fast.merge(exact, on=["q_id", "c_id"], suffixes=("_a", "_e"))
+    assert (abs(merged["cos_a"] - merged["cos_e"]) < 1e-9).all()

@@ -33,6 +33,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--parse-impl", choices=["builtin", "arrow"], default="builtin")
     p.add_argument("--write-partitions", type=int, default=0)
     p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--prefer-iceberg",
+        action="store_true",
+        help="use the Iceberg catalog when the runtime jar is present",
+    )
+    p.add_argument(
+        "--watch-interval",
+        type=float,
+        default=0.0,
+        help="if > 0, keep rescanning the input every N seconds and "
+        "processing newly appended files (the reference's discovery "
+        "loop); 0 = single pass",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="ves_spark_pipeline")
@@ -46,9 +59,22 @@ def main(argv: list[str] | None = None) -> None:
         parse_impl=args.parse_impl,
         write_partitions=args.write_partitions,
         run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
+        prefer_iceberg=args.prefer_iceberg,
     )
-    stats = Pipeline(spark, conf).run()
+    pipe = Pipeline(spark, conf)
+    stats = pipe.run()
     print(json.dumps(stats))
+    if args.watch_interval > 0:
+        # the reference's rescan loop (discovery.rs:56-87): discover()
+        # assigns any newly appeared files to a fresh ingest batch and
+        # run() processes exactly that
+        import time as _time
+
+        while True:
+            _time.sleep(args.watch_interval)
+            stats = pipe.run()
+            if stats["units_processed"]:
+                print(json.dumps(stats))
     spark.stop()
 
 

@@ -93,6 +93,36 @@ def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
     )
 
 
+def _table_buckets_matmul(tables: list[list[list[float]]]):
+    """Arrow-vectorized bucket assignment: ONE numpy matmul per batch
+    computes every (table, plane) dot product — the 100 TB path (the
+    JVM HOF fold is O(T·P·d) interpreted ops per row; this is a BLAS
+    (batch × d) @ (d × T·P)). Sign-bit packing per table gives the
+    bucket ids. Float summation order differs from the sequential
+    fold, so dots within ~1e-13 of zero may bucket differently —
+    recall-equivalent, not bit-identical (the oracle-checked query
+    uses the fold)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(tables, dtype=np.float64)  # (T, nplanes, d)
+    T, nplanes, d = P.shape
+    flat = P.reshape(T * nplanes, d)
+    weights = (1 << np.arange(nplanes, dtype=np.int64))
+
+    def kernel(vecs):
+        M = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, d)
+        bits = (M @ flat.T) > 0  # (n, T*nplanes)
+        bkts = bits.reshape(len(M), T, nplanes).astype(np.int64) @ weights
+        return pd.Series(list(bkts.astype(np.int32)))
+
+    # no type hints: the closure-scoped kernel uses the legacy SCALAR
+    # pandas_udf path (hint strings would not resolve in this scope)
+    from pyspark.sql.functions import PandasUDFType
+
+    return F.pandas_udf(kernel, "array<int>", PandasUDFType.SCALAR)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -105,6 +135,7 @@ def cosine_topk_lsh(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    bucket_impl: str = "fold",  # 'fold' (bit-exact JVM) | 'matmul' (fast Arrow)
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: a pair
     is a candidate if it collides in ANY of ``n_tables`` independent
@@ -114,16 +145,30 @@ def cosine_topk_lsh(
 
     Scale shape: candidates come from an equi-join on (table, bucket)
     — the corpus is never compared against out-of-bucket queries, and
-    the shuffle key is a small int pair."""
+    the shuffle key is a small int pair. ``bucket_impl='matmul'`` is
+    the production bucket assigner (one BLAS matmul per Arrow batch);
+    'fold' is the deterministic sequential-fold spec the DuckDB oracle
+    replicates bit-for-bit."""
     tables = [
         _planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
     ]
-    qb = queries.select(
-        q_id, q_vec, F.explode(_table_buckets(F.col(q_vec), tables)).alias("_tb")
-    ).select(q_id, q_vec, "_tb.tbl", "_tb.bkt")
-    cb = corpus.select(
-        c_id, c_vec, F.explode(_table_buckets(F.col(c_vec), tables)).alias("_tb")
-    ).select(c_id, c_vec, "_tb.tbl", "_tb.bkt")
+    if bucket_impl == "matmul":
+        kern = _table_buckets_matmul(tables)
+
+        def bucketize(df, idc, vecc):
+            return df.select(
+                idc, vecc, F.posexplode(kern(F.col(vecc))).alias("tbl", "bkt")
+            )
+
+        qb = bucketize(queries, q_id, q_vec)
+        cb = bucketize(corpus, c_id, c_vec)
+    else:
+        qb = queries.select(
+            q_id, q_vec, F.explode(_table_buckets(F.col(q_vec), tables)).alias("_tb")
+        ).select(q_id, q_vec, "_tb.tbl", "_tb.bkt")
+        cb = corpus.select(
+            c_id, c_vec, F.explode(_table_buckets(F.col(c_vec), tables)).alias("_tb")
+        ).select(c_id, c_vec, "_tb.tbl", "_tb.bkt")
     pairs = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col(q_id) != F.col(c_id))

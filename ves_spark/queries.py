@@ -1263,3 +1263,101 @@ def cdc_snapshot_diff(spark, sf_dir):
         .otherwise("unchanged")
         .alias("change"),
     )
+
+
+# =====================================================================
+# Third operator batch: training-data sampling + vocabulary stats.
+# Cross-engine determinism: the 'random' is a 32-bit hash of the first
+# 8 hex digits of md5(doc_id) — identical in Spark (conv) and DuckDB
+# (positional hex-digit decode).
+# =====================================================================
+
+
+def _spark_md5_32(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+_DUCK_MD5_32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "vocab_topk_words",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), c AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word
+    )
+    SELECT word, cnt, rnk FROM (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM c) t
+    WHERE rnk <= 100
+    """,
+)
+def vocab_topk_words(spark, sf_dir):
+    """Vocabulary frequency top-k — the token-histogram primitive of
+    every training-data pipeline. Scale shape: explode is map-side,
+    the groupBy ships (word, partial count) only, and the final top-k
+    is a single small sort after aggregation."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # distributed top-k (TakeOrderedAndProject) FIRST, then the global
+    # row_number window runs over only 100 rows — never a full-vocab
+    # single-partition sort
+    top = c.orderBy(F.col("cnt").desc(), F.col("word")).limit(100)
+    w = W.orderBy(F.col("cnt").desc(), F.col("word"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+@register(
+    "hash_sample_documents",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({_DUCK_MD5_32}) % 100 < 20
+    """,
+)
+def hash_sample_documents(spark, sf_dir):
+    """Deterministic 20% sample by content-independent hash of the key
+    — reproducible across runs/engines (unlike rand()), uniform, and
+    a pure scan-side filter (no shuffle, prunes to two columns)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(_spark_md5_32(F.col("doc_id")) % 100 < 20).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "quota_sample_per_lang",
+    f"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ({_DUCK_MD5_32}) % 1000000, doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 10
+    """,
+)
+def quota_sample_per_lang(spark, sf_dir):
+    """Per-group quota sampling (10 docs per language): hash-ordered
+    row_number per group — the balanced-mixture primitive for training
+    sets. One shuffle on the group key; the hash order makes the
+    'random' pick deterministic and engine-independent."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        (_spark_md5_32(F.col("doc_id")) % 1000000).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
