@@ -74,3 +74,38 @@ def test_route_keeps_whole_stage_codegen(frames):
     gen_line = next(l for l in plan.splitlines() if "Generate explode" in l)
     # the generator argument is a plain attribute, not the when-chain
     assert "CASE WHEN" not in gen_line
+
+
+def test_increment_partials_no_single_partition_exchange(spark, fixture_dir, tmp_path):
+    """The rollup-partials write path must repartition by unit_id, not
+    funnel through one task (round-1 anti-pattern: repartition(1))."""
+    from ves_spark.pipeline import Pipeline, PipelineConfig
+
+    conf = PipelineConfig(
+        sequences_path=os.path.join(fixture_dir, "sequences.parquet"),
+        source_meta_path=os.path.join(fixture_dir, "source_meta.parquet"),
+        route_rules_path=os.path.join(fixture_dir, "route_rules.parquet"),
+        out_dir=str(tmp_path),
+        n_units=8,
+        units_per_increment=8,
+    )
+    p = Pipeline(spark, conf)
+    p.run()
+    routed_back = p.routed()
+    partials = routed_back.groupBy(
+        "batch_seq", "unit_id", "sink", "source", "time_bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    plan = _plan(partials.repartition("unit_id"))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(unit_id" in plan
+
+
+def test_vocab_topk_is_distributed_topk(spark, fixture_dir):
+    """vocab_topk must plan as TakeOrderedAndProject (per-partition
+    top-k then merge), never a global single-partition sort."""
+    from ves_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    df = queries()["vocab_topk_words"](spark, sf)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan

@@ -1361,3 +1361,55 @@ def quota_sample_per_lang(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "hdr_percentiles_rollup",
+    """
+    WITH src AS (
+      SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem
+    ), b AS (
+      SELECT l_returnflag, v,
+             CASE WHEN v <= 0 THEN 0
+                  WHEN v < 128 THEN v
+                  ELSE (length(printf('%b', v)) - 7) * 128
+                       + (v >> (length(printf('%b', v)) - 8)) - 128
+             END AS bucket
+      FROM src
+    ), h AS (
+      SELECT l_returnflag, bucket, count(*) AS cnt, sum(v) AS sum_v
+      FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, bucket, cnt, sum_v,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+      FROM h
+    ), vv AS (
+      SELECT *, CASE WHEN bucket < 256 THEN bucket
+                     ELSE ((bucket % 128) + 128) << ((bucket // 128) - 1)
+                END AS lo
+      FROM c
+    )
+    SELECT l_returnflag,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
+           CAST(sum(sum_v) AS BIGINT) AS sum_v,
+           CAST(min(CASE WHEN cum >= ceil(0.50 * total) THEN lo END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= ceil(0.95 * total) THEN lo END) AS BIGINT) AS p95,
+           CAST(min(CASE WHEN cum >= ceil(0.99 * total) THEN lo END) AS BIGINT) AS p99
+    FROM vv GROUP BY l_returnflag
+    """,
+)
+def hdr_percentiles_rollup(spark, sf_dir):
+    """The streaming percentile sketch's math, driver-oracled: HDR
+    log-bucket histogram (streaming/hdr.py — the same rollup the
+    watermarked stream maintains incrementally) + nearest-rank bucket
+    walk, replicated bit-for-bit in DuckDB (floor(log2) via binary
+    string length on both engines). Bounded error by construction:
+    <= 2^-7 relative; counts and sums exact."""
+    from ves_spark.streaming.hdr import percentiles_from_histogram, rollup_histogram
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.floor("l_extendedprice").cast("long").alias("v")
+    )
+    hist = rollup_histogram(li, ["l_returnflag"], "v", p=7)
+    return percentiles_from_histogram(hist, ["l_returnflag"], p=7)
