@@ -818,7 +818,17 @@ def ann_lsh_topk_q(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return cosine_topk_lsh(queries_df, corpus, k=5, n_planes=3, n_tables=12, dim=64)
+    return cosine_topk_lsh(
+        queries_df,
+        corpus,
+        k=5,
+        n_planes=3,
+        n_tables=12,
+        dim=64,
+        # codegen'd bucket assignment, proven bit-identical to the fold
+        # spec (and to this DuckDB oracle); 'matmul' is the Arrow path
+        bucket_impl="exploded",
+    )
 
 
 @register(
