@@ -125,6 +125,15 @@ def copy_bandwidth(levels: list[int], size_gb: int = 2) -> dict[int, float]:
     return out
 
 
+def _latest_bench_queries() -> dict:
+    """Per-query walls from the last saved full bench (report-only
+    regeneration has no fresh local[32] run to take them from)."""
+    p = os.path.join(REPO, "BENCH", "latest_bench.json")
+    if os.path.exists(p):
+        return json.load(open(p)).get("queries", {})
+    return {}
+
+
 def main() -> None:
     # big enough that compute dominates fixed job overheads at 4N
     rows = int(os.environ.get("VES_SCALING_ROWS", "16000000"))
@@ -141,6 +150,11 @@ def main() -> None:
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     if os.environ.get("VES_SCALING_REPORT_ONLY"):
         schedule = []  # regenerate the report from recorded history
+    if schedule:
+        sys.path.insert(0, os.path.join(REPO, "BENCH"))
+        from prewarm import prewarm  # see prewarm.py
+
+        prewarm(16)
     for cpus in schedule:
         wait_idle()
         r = run_bench(cpus, rows)
@@ -266,7 +280,10 @@ ships in `BENCH/*.jsonl`.
 |---|---|
 """ + "".join(
         f"| {k} | {v} |\n"
-        for k, v in (results.get(32, {}).get("queries") or {}).items()
+        for k, v in (
+            results.get(32, {}).get("queries")
+            or _latest_bench_queries()
+        ).items()
     ) + f"""
 ## Reproduce
 
