@@ -101,6 +101,10 @@ def minhash_lsh_candidates(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
+    # signature stays a per-row map-side expression (no shuffle before
+    # banding); an explode+min-agg variant measured the same wall at
+    # sf0.1 but adds an exchange — the join, not the signature, is the
+    # cost
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes).alias(
