@@ -101,6 +101,19 @@ def test_query_matches_oracle(spark, name):
     assert not mism, f"{name}: {len(mism)} mismatched rows, first: {a[mism[0]]} vs {b[mism[0]]}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["anti_join_inactive_customers", "set_ops_users", "scalar_subquery_outliers"],
+)
+def test_query_not_vacuous(spark, name):
+    """Regression guard (round-2 verdict 'What's wrong #2'): these
+    queries once returned 0 rows at sf0.01, making their oracle match
+    vacuous. Pin that each returns actual data."""
+    import __spark_entry__ as entry_mod
+
+    assert entry_mod.queries()[name](spark, SF_DIR).count() > 0
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 

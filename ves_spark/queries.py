@@ -163,12 +163,16 @@ def broadcast_enrich(spark, sf_dir):
     """
     SELECT c.c_custkey, c.c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000)
     """,
 )
 def anti_join_inactive_customers(spark, sf_dir):
+    # Customers with no high-value order — the price filter keeps the
+    # result non-trivial (every custkey has SOME order in the synth
+    # data, so an unfiltered anti-join is vacuously empty).
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -465,19 +469,28 @@ def window_running_sum(spark, sf_dir):
 @register(
     "set_ops_users",
     """
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
     INTERSECT
     SELECT user_id FROM events WHERE event_type = 'click'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 450
     """,
 )
 def set_ops_users(spark, sf_dir):
+    # Asymmetric value thresholds: every user has every event type in
+    # the synth data, so unfiltered INTERSECT/EXCEPT collapses to the
+    # empty set; these cuts leave a real overlap-minus-exclusion set.
     e = load(spark, sf_dir, "events")
-    u = lambda t: e.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+
+    def u(t, min_value=None):
+        d = e.filter(F.col("event_type") == t)
+        if min_value is not None:
+            d = d.filter(F.col("value") > min_value)
+        return d.select("user_id")
+
     # intersect/subtract are the DISTINCT set ops, matching SQL
     # INTERSECT / EXCEPT.
-    return u("purchase").intersect(u("click")).subtract(u("error"))
+    return u("purchase", 200).intersect(u("click")).subtract(u("error", 450))
 
 
 @register(
@@ -1122,17 +1135,19 @@ def merge_upsert_events(spark, sf_dir):
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders)
     """,
 )
 def scalar_subquery_outliers(spark, sf_dir):
-    """SQL front-end: correlated-free scalar subquery via spark.sql."""
+    """SQL front-end: correlated-free scalar subquery via spark.sql.
+    Threshold avg*1.2 (not *2): the synth price distribution is
+    bounded, so *2 selects nothing and the check would be vacuous."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders_v
-        WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders_v)
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders_v)
         """
     )
 
