@@ -72,14 +72,19 @@ def merge_upsert(
     in the update batch are read and rewritten."""
     upd = _bucketed(updates, keys, n_buckets).withColumn("_upd", F.lit(1))
     touched = [int(r[BUCKET_COL]) for r in upd.select(BUCKET_COL).distinct().collect()]
-    try:
+    # Explicit first-write detection (NOT try/except around the read):
+    # a failing read of an EXISTING table — permissions, corrupt
+    # footer, schema drift in unionByName — must abort the MERGE, or
+    # the dynamic overwrite below would replace the touched buckets
+    # with update-only rows, silently destroying current data.
+    if catalog.exists(spark, name):
         current = (
             catalog.read(spark, name)
             .filter(F.col(BUCKET_COL).isin(touched))
             .withColumn("_upd", F.lit(0))
         )
         merged_src = current.unionByName(upd)
-    except Exception:  # first write: table does not exist yet
+    else:
         merged_src = upd
     # caller tiebreaks first (a unique tiebreak makes the result
     # engine-independent); _upd last so a FULL tie deterministically

@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 class TableCatalog(ABC):
     @abstractmethod
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        """Whether the table has ever been written. Callers (e.g.
+        merge_upsert) use this for explicit first-write detection —
+        a read failure on an EXISTING table must propagate, never be
+        mistaken for 'table not there yet'."""
+
+    @abstractmethod
     def read(self, spark: SparkSession, name: str) -> DataFrame: ...
 
     @abstractmethod
@@ -57,6 +64,11 @@ class ParquetCatalog(TableCatalog):
     def _path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
+    def exists(self, spark, name):
+        import os
+
+        return os.path.exists(self._path(name))
+
     def read(self, spark, name):
         return spark.read.parquet(self._path(name))
 
@@ -77,8 +89,12 @@ class ParquetCatalog(TableCatalog):
         w.parquet(self._path(name))
 
     def overwrite_partitions(self, df, name, partition_by=()):
-        # requires spark.sql.sources.partitionOverwriteMode=dynamic
-        w = df.write.mode("overwrite")
+        # Per-write dynamic mode: only partitions present in ``df`` are
+        # replaced. Set HERE, not via session conf — under Spark's
+        # default ('static') an overwrite would silently DELETE every
+        # partition not in the batch, so the operator must not depend
+        # on the caller's session state for its contract.
+        w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
@@ -111,6 +127,9 @@ class IcebergCatalog(TableCatalog):
 
     def _tbl(self, name: str) -> str:
         return f"{self.catalog}.{name}"
+
+    def exists(self, spark, name):
+        return spark.catalog.tableExists(self._tbl(name))
 
     def read(self, spark, name):
         return spark.read.format("iceberg").load(self._tbl(name))
