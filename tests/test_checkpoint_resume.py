@@ -173,3 +173,23 @@ def test_input_scanned_once_per_increment(spark, fix, tmp_path_factory):
         Pipeline.transform = orig
     n_input = spark.read.parquet(os.path.join(fix, "sequences.parquet")).count()
     assert acc.value == n_input, f"input scanned {acc.value / n_input:.2f}x"
+
+
+def test_relative_vs_absolute_path_no_reingest(spark, fix, tmp_path_factory, monkeypatch):
+    """Ingest-file identity must be cwd-independent: running with a
+    relative --sequences path and resuming with the absolute one (or
+    vice versa) is the SAME input — re-ingesting it as a new batch
+    would double-count every row."""
+    out = str(tmp_path_factory.mktemp("relabs"))
+    seq_abs = os.path.join(fix, "sequences.parquet")
+
+    monkeypatch.chdir(fix)
+    conf_rel = _conf(fix, out, "run-rel")
+    conf_rel.sequences_path = "sequences.parquet"
+    Pipeline(spark, conf_rel).run()
+
+    monkeypatch.chdir("/")
+    conf_abs = _conf(fix, out, "run-abs")
+    conf_abs.sequences_path = seq_abs
+    stats = Pipeline(spark, conf_abs).run()
+    assert stats["units_processed"] == 0  # same file, nothing new

@@ -243,3 +243,33 @@ def test_ann_matmul_bucket_impl_recall(spark):
     assert len(e_pairs & f_pairs) / len(e_pairs) >= 0.6
     merged = fast.merge(exact, on=["q_id", "c_id"], suffixes=("_a", "_e"))
     assert (abs(merged["cos_a"] - merged["cos_e"]) < 1e-9).all()
+
+
+def test_simhash_md5_lane_overflow_guard(spark):
+    """simhash_md5 packs 4 bit-vote counters into 16-bit lanes of one
+    long; a doc with > 65535 words would overflow a lane and corrupt
+    the signature silently. The runtime guard must raise instead."""
+    from pyspark.errors import ArithmeticException
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from ves_spark.operators.dedup import simhash_md5
+
+    ok = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    assert simhash_md5(ok, "text", "doc_id").count() == 1
+
+    # 'w2058': every one of md5's first 15 hex digits < 8, so the
+    # 2^48 lane stays empty and the long sum does NOT overflow — the
+    # silent-carry region only the explicit _n guard can catch.
+    big = spark.createDataFrame(
+        [("d2", " ".join(["w2058"] * 65_600))], "doc_id string, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="65535 words"):
+        simhash_md5(big, "text", "doc_id").collect()
+
+    # words with high digit bits: the per-lane packed sum itself
+    # overflows long first — ANSI mode makes that loud too.
+    big2 = spark.createDataFrame(
+        [("d3", " ".join(["w"] * 65_600))], "doc_id string, text string"
+    )
+    with pytest.raises((SparkRuntimeException, ArithmeticException)):
+        simhash_md5(big2, "text", "doc_id").collect()

@@ -425,6 +425,24 @@ def simhash_md5(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(spread(F.col(f"d{i}"))).alias(f"s{i}") for i in range(ndig)],
     )
+    # Runtime guard on the lane capacity: a doc with > 65535 words
+    # would carry a full lane into its neighbour and silently corrupt
+    # the signature (and diverge from the oracle, which has no such
+    # cap) — fail loudly instead. assert_true yields NULL on success,
+    # so coalesce(…, 0) folds it into the signature sum, which keeps
+    # the check in the plan (a free-standing unselected column would
+    # be pruned by Catalyst). Per-doc cost, negligible.
+    lane_guard = F.coalesce(
+        F.assert_true(
+            F.col("_n") <= F.lit(65535),
+            F.concat(
+                F.lit("simhash_md5: document "),
+                F.col("_id"),
+                F.lit(" has > 65535 words; 16-bit vote lanes would overflow"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     # bit b set iff votes_b > 0 iff 2*ones_b > n_words
     sig = None
     for b in range(n_bits):
@@ -435,4 +453,4 @@ def simhash_md5(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
-    return votes.select("_id", sig.alias("sig"))
+    return votes.select("_id", (sig + lane_guard).alias("sig"))

@@ -94,9 +94,13 @@ class Pipeline:
         'inode'; a directory is scanned non-recursively — appended
         part files are the growth vector (reference: new files under
         log_dir, src/watcher/discovery.rs:90-116)."""
-        p = self.conf.sequences_path
+        # realpath in BOTH branches: file identity is the path string
+        # compared against the ingest log, so a relative vs absolute
+        # --sequences path (or a changed cwd) must not re-ingest every
+        # file as a new batch and double-count rows.
+        p = os.path.realpath(self.conf.sequences_path)
         if os.path.isfile(p):
-            return [os.path.abspath(p)]
+            return [p]
         return sorted(
             os.path.join(p, f)
             for f in os.listdir(p)
