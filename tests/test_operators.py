@@ -273,3 +273,72 @@ def test_simhash_md5_lane_overflow_guard(spark):
     )
     with pytest.raises((SparkRuntimeException, ArithmeticException)):
         simhash_md5(big2, "text", "doc_id").collect()
+
+
+def test_multimodal_vectorized_equals_rowwise(spark):
+    """The batch-vectorized checksum/histogram math must equal a plain
+    row-at-a-time reference, including zero-length payloads."""
+    import numpy as np
+
+    from ves_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=32)
+    empty = spark.createDataFrame(
+        [("m-empty", "image", b"", (None, None, None, None))], MEDIA_SCHEMA
+    )
+    got = (
+        extract_features(media.unionAll(empty), decode_mode="fake")
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+
+    rows = media.unionAll(empty).collect()
+    for r in rows:
+        arr = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        want_ck = int(arr.astype(np.int64).sum() % 1_000_000_007) if arr.size else 0
+        want_hist = (
+            np.bincount(arr >> 5, minlength=8).astype(np.float32) / max(arr.size, 1)
+        )
+        g = got.loc[r["media_id"]]
+        assert int(g["checksum"]) == want_ck, r["media_id"]
+        assert np.allclose(np.array(g["feat"]), want_hist, atol=1e-6), r["media_id"]
+        assert int(g["n_bytes"]) == arr.size
+
+
+def test_multimodal_injected_decode_fn(spark):
+    """decode_mode='real' with an injected toy codec: per-item decode,
+    then the shared vectorized feature math over the DECODED bytes."""
+    import numpy as np
+
+    from ves_spark.operators.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=12)
+    # toy codec: bitwise NOT of the payload
+    toy = lambda b: bytes(255 - x for x in b)  # noqa: E731
+    got = (
+        extract_features(media, decode_mode="real", decode_fn=toy)
+        .toPandas()
+        .set_index("media_id")
+    )
+    for r in media.collect():
+        raw = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        dec = (255 - raw).astype(np.uint8)
+        g = got.loc[r["media_id"]]
+        # n_bytes reports the INPUT payload size; checksum/hist the decoded bytes
+        assert int(g["n_bytes"]) == raw.size
+        assert int(g["checksum"]) == int(dec.astype(np.int64).sum() % 1_000_000_007)
+        want = np.bincount(dec >> 5, minlength=8).astype(np.float32) / max(dec.size, 1)
+        assert np.allclose(np.array(g["feat"]), want, atol=1e-6)
+
+
+def test_multimodal_real_without_codec_still_raises(spark):
+    from ves_spark.operators.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=3)
+    with pytest.raises(Exception, match="Pillow|NotImplementedError"):
+        extract_features(media, decode_mode="real").collect()

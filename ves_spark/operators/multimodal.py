@@ -59,22 +59,37 @@ except ImportError:
     _HAS_PIL = False
 
 
-def _decode_image_real(payload: bytes) -> list[float]:
-    """Real codec path — requires Pillow (absent here by design)."""
+def _decode_image_real(payload: bytes) -> bytes:
+    """Real codec path — requires Pillow (absent here by design).
+    Contract: payload bytes -> decoded raw bytes (pixel buffer); the
+    vectorized feature math downstream is codec-agnostic."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "image decode requires Pillow; this environment stubs it — "
-            "use decode_mode='fake'"
+            "use decode_mode='fake' or pass decode_fn"
         )
     raise NotImplementedError("wire PIL.Image.open here when available")
 
 
-def extract_features(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
+def extract_features(
+    df: DataFrame, decode_mode: str = "fake", decode_fn=None
+) -> DataFrame:
     """Map-side feature extraction over Arrow batches.
 
-    fake mode: deterministic 8-dim feature from the payload bytes
-    (byte histogram moments) — exercises the full plumbing (binary in
-    Arrow batches, vectorized numpy, array<float> out) without codecs.
+    fake mode: deterministic 8-dim feature straight from the payload
+    bytes (byte histogram moments) — exercises the full plumbing
+    (binary in Arrow batches, vectorized numpy, array<float> out)
+    without codecs.
+
+    real mode: each payload is decoded by ``decode_fn`` (default
+    ``_decode_image_real``, which needs Pillow) — ``bytes -> raw
+    decoded bytes``; injecting a toy codec makes the real path
+    testable without media libraries.
+
+    Only the codec call is per-item (inherently so). The checksum /
+    byte-histogram math is batch-vectorized: one concatenated buffer,
+    segment sums via cumsum-diff, histograms via a single bincount on
+    (row_index*8 + bucket) keys — zero per-row Python in fake mode.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,17 +97,42 @@ def extract_features(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
 
         for pdf in batches:
             n = len(pdf)
-            n_bytes = pdf["payload"].map(len).astype("int64")
-            feats = np.zeros((n, 8), dtype=np.float32)
-            checksum = np.zeros(n, dtype=np.int64)
-            for i, payload in enumerate(pdf["payload"]):
-                if decode_mode == "real":
-                    _decode_image_real(payload)
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                if len(arr):
-                    checksum[i] = int(arr.astype(np.int64).sum() % 1_000_000_007)
-                    hist = np.bincount(arr >> 5, minlength=8).astype(np.float32)
-                    feats[i] = hist / max(len(arr), 1)
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len).astype("int64")
+            if decode_mode == "real":
+                fn = decode_fn or _decode_image_real
+                decoded = [
+                    np.frombuffer(fn(bytes(p)), dtype=np.uint8) for p in payloads
+                ]
+                lens = np.fromiter(
+                    (d.size for d in decoded), dtype=np.int64, count=n
+                )
+                buf = (
+                    np.concatenate(decoded)
+                    if decoded
+                    else np.empty(0, dtype=np.uint8)
+                )
+            else:
+                # b"".join is a single C-level pass; no per-row numpy
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                lens = n_bytes.to_numpy()
+
+            ends = np.cumsum(lens, dtype=np.int64)
+            starts = ends - lens
+            # segment sums without reduceat's empty-segment pitfall:
+            # prefix-sum diff handles zero-length payloads exactly
+            cs = np.zeros(buf.size + 1, dtype=np.int64)
+            np.cumsum(buf, out=cs[1:], dtype=np.int64)
+            checksum = (cs[ends] - cs[starts]) % 1_000_000_007
+            # per-row 8-bin histogram in ONE bincount: key = row*8 + bin
+            row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keys = row_of_byte * 8 + (buf >> 5)
+            feats = (
+                np.bincount(keys, minlength=n * 8)
+                .reshape(n, 8)
+                .astype(np.float32)
+            )
+            feats /= np.maximum(lens, 1)[:, None].astype(np.float32)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
