@@ -67,8 +67,13 @@ class LineageStore:
     is a DataFrame anti-join like everything else.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, compact_every: int = 64):
+        """``compact_every``: when the live file count reaches this,
+        ``append`` folds them into one compacted parquet (bounds
+        ``read()``'s file listing at ~compact_every regardless of how
+        many increments have ever committed)."""
         self.path = path
+        self.compact_every = compact_every
         os.makedirs(path, exist_ok=True)
 
     _SCHEMA = pa.schema(
@@ -111,13 +116,109 @@ class LineageStore:
             os.fsync(dfd)
         finally:
             os.close(dfd)
+        if len(self._live_files()) >= self.compact_every:
+            self.compact()
+
+    # ------------------------------------------------------- compaction
+    # Unbounded increments would leave one parquet file per commit —
+    # read() becomes a 10^5-file listing after 10^5 increments. compact()
+    # folds all live files into one, using a TOMBSTONE as the atomic
+    # commit point so every crash window is safe:
+    #
+    #   1. write compact-<id>.parquet  (union of live rows; fsync+rename)
+    #   2. write tombstone-<id>.json   {compact: ..., replaces: [...]}
+    #      (fsync+rename — THE commit point)
+    #   3. best-effort delete replaced files + obsolete tombstones
+    #
+    # Readers: a compact file counts only if its tombstone exists (a
+    # crash between 1 and 2 leaves an ignored orphan); a file named in
+    # any tombstone's `replaces` is dead even if still on disk (a crash
+    # during 3 leaves no duplicates). Lineage rows are immutable facts,
+    # so compaction is a pure re-layout — contents identical.
+
+    def _tombstones(self) -> list[dict]:
+        import json
+
+        out = []
+        for f in os.listdir(self.path):
+            if f.startswith("tombstone-") and f.endswith(".json"):
+                with open(os.path.join(self.path, f)) as fh:
+                    t = json.load(fh)
+                t["_name"] = f
+                out.append(t)
+        return out
+
+    def _live_files(self) -> list[str]:
+        names = set(os.listdir(self.path))
+        valid_compacts: set[str] = set()
+        replaced: set[str] = set()
+        for t in self._tombstones():
+            valid_compacts.add(t["compact"])
+            replaced.update(t["replaces"])
+        live = []
+        for f in sorted(names):
+            if f in replaced or not f.endswith(".parquet"):
+                continue
+            if f.startswith("commit-") or (
+                f.startswith("compact-") and f in valid_compacts
+            ):
+                live.append(f)
+        return live
+
+    def compact(self) -> None:
+        import json
+
+        live = self._live_files()
+        if len(live) <= 1:
+            return
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(self.path, f)) for f in live]
+        )
+        cid = uuid.uuid4().hex
+        cname = f"compact-{cid}.parquet"
+        tmp = os.path.join(self.path, f".tmp-{cid}.parquet")
+        pq.write_table(tbl, tmp)
+        self._fsync_file(tmp)
+        os.rename(tmp, os.path.join(self.path, cname))
+
+        old_tombs = [t["_name"] for t in self._tombstones()]
+        tname = f"tombstone-{cid}.json"
+        ttmp = os.path.join(self.path, f".tmp-{cid}.json")
+        with open(ttmp, "w") as fh:
+            json.dump({"compact": cname, "replaces": live}, fh)
+        self._fsync_file(ttmp)
+        os.rename(ttmp, os.path.join(self.path, tname))  # commit point
+        self._fsync_dir()
+
+        # best-effort cleanup; any crash here is repaired by the reader
+        # rules and finished by the next compaction
+        for f in live:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except OSError:
+                pass
+        for t in old_tombs:
+            try:
+                os.remove(os.path.join(self.path, t))
+            except OSError:
+                pass
+
+    def _fsync_file(self, p: str) -> None:
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def _fsync_dir(self) -> None:
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _files(self) -> list[str]:
-        return [
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.startswith("commit-") and f.endswith(".parquet")
-        ]
+        return [os.path.join(self.path, f) for f in self._live_files()]
 
     def read(self, spark) -> DataFrame | None:
         files = self._files()

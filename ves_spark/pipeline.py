@@ -74,6 +74,7 @@ class PipelineConfig:
     write_partitions: int = 0  # 0 = one output partition per unit
     run_id: str = "run-0"
     prefer_iceberg: bool = False
+    lineage_compact_every: int = 64
     extra: dict = field(default_factory=dict)
 
 
@@ -81,7 +82,9 @@ class Pipeline:
     def __init__(self, spark: SparkSession, conf: PipelineConfig):
         self.spark = spark
         self.conf = conf
-        self.store = LineageStore(f"{conf.out_dir}/lineage")
+        self.store = LineageStore(
+            f"{conf.out_dir}/lineage", compact_every=conf.lineage_compact_every
+        )
         self.catalog = get_catalog(spark, conf.out_dir, conf.prefer_iceberg)
         # Overwrite only the partitions present in the written frame —
         # with the explicit pre-delete this makes crashed-increment
