@@ -86,6 +86,7 @@ class LineageStore:
             ("rows", pa.int64()),
             ("bytes", pa.int64()),
             ("snapshot_id", pa.int64()),
+            ("fingerprint", pa.string()),
             ("committed_at", pa.timestamp("us")),
         ]
     )
@@ -97,6 +98,7 @@ class LineageStore:
         for r in rows:
             r.setdefault("committed_at", now)
             r.setdefault("batch_seq", 0)
+            r.setdefault("fingerprint", None)
         tbl = pa.Table.from_pylist(rows, schema=self._SCHEMA)
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
         final = os.path.join(self.path, f"commit-{uuid.uuid4().hex}.parquet")
@@ -245,7 +247,14 @@ class LineageStore:
     # file→batch assignment — the reference persists checkpoint entries
     # before tailing starts (src/watcher/watcher.rs:35-89).
 
-    def record_ingest(self, batch_seq: int, files: list[str], run_id: str) -> None:
+    def record_ingest(
+        self,
+        batch_seq: int,
+        files: list[str],
+        run_id: str,
+        fingerprints: dict[str, str] | None = None,
+    ) -> None:
+        fps = fingerprints or {}
         self.append(
             [
                 {
@@ -257,26 +266,66 @@ class LineageStore:
                     "rows": 0,
                     "bytes": os.path.getsize(f) if os.path.exists(f) else 0,
                     "snapshot_id": batch_seq,
+                    "fingerprint": fps.get(f),
                 }
                 for f in files
             ]
         )
 
-    def ingest_batches(self, spark) -> dict[int, list[str]]:
-        """batch_seq -> sorted input files, from the ingest log."""
+    def record_retire(self, batch_seq: int, run_id: str, reason: str) -> None:
+        """Mark a batch dead (its input files were removed or rewritten
+        — the reference's FileRemoved / FileRotated lifecycle,
+        src/watcher/events.rs:18-65). Written AFTER the batch's output
+        partitions are deleted, so the retire row implies the data is
+        gone; a crash in between re-triggers retirement on the next
+        discover (the path-missing / fingerprint-changed condition
+        still holds, and partition deletion is idempotent)."""
+        self.append(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": "retire",
+                    "batch_seq": batch_seq,
+                    "unit_id": -1,
+                    "source": reason,
+                    "rows": 0,
+                    "bytes": 0,
+                    "snapshot_id": batch_seq,
+                }
+            ]
+        )
+
+    def ingest_state(self, spark) -> tuple[dict[int, dict[str, str]], int]:
+        """(active batches as batch_seq -> {file: fingerprint}, max
+        batch_seq ever assigned — INCLUDING retired ones, so retired
+        seq numbers are never reused: a reused seq would inherit the
+        dead batch's committed_units and skip real work)."""
         df = self.read(spark)
         if df is None:
-            return {}
+            return {}, -1
         rows = (
-            df.filter(F.col("stage") == "ingest")
-            .select("batch_seq", "source")
+            df.filter(F.col("stage").isin("ingest", "retire"))
+            .select("stage", "batch_seq", "source", "fingerprint")
             .distinct()
             .collect()
         )
-        out: dict[int, list[str]] = {}
+        retired = {int(r["batch_seq"]) for r in rows if r["stage"] == "retire"}
+        out: dict[int, dict[str, str]] = {}
+        max_seq = -1
         for r in rows:
-            out.setdefault(int(r["batch_seq"]), []).append(r["source"])
-        return {k: sorted(v) for k, v in out.items()}
+            if r["stage"] != "ingest":
+                continue
+            seq = int(r["batch_seq"])
+            max_seq = max(max_seq, seq)
+            if seq not in retired:
+                out.setdefault(seq, {})[r["source"]] = r["fingerprint"]
+        return out, max(max_seq, max(retired, default=-1))
+
+    def ingest_batches(self, spark) -> dict[int, list[str]]:
+        """batch_seq -> sorted input files, for ACTIVE (non-retired)
+        batches."""
+        state, _ = self.ingest_state(spark)
+        return {k: sorted(v) for k, v in state.items()}
 
 
 def pending_units(

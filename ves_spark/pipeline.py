@@ -110,26 +110,83 @@ class Pipeline:
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
 
+    @staticmethod
+    def _file_fingerprint(path: str, tail_bytes: int = 65536) -> str:
+        """Content identity: size + hash of the file tail. For parquet
+        the tail holds the footer (schema, row-group offsets, stats),
+        so any rewrite-in-place changes it; reading 64 KiB per file
+        keeps discovery metadata-cheap at 10^5 files."""
+        import hashlib
+
+        size = os.path.getsize(path)
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            if size > tail_bytes:
+                f.seek(size - tail_bytes)
+            h.update(f.read(tail_bytes))
+        return f"{size}:{h.hexdigest()}"
+
+    def _retire_batch(self, batch_seq: int, reason: str) -> None:
+        """FileRemoved/FileRotated (reference src/watcher/events.rs:
+        18-65, watcher.rs:35-89): retract a dead batch's contribution.
+        Delete-then-record: output partitions go first, the retire
+        lineage row is the commit — a crash in between leaves the
+        trigger condition intact, so the next discover re-retires."""
+        self.catalog.delete_partitions("routed", [{"batch_seq": batch_seq}])
+        self.catalog.delete_partitions("rollup_partial", [{"batch_seq": batch_seq}])
+        self.store.record_retire(batch_seq, self.conf.run_id, reason)
+
     def discover(self) -> list[tuple[int, list[str], list[int]]]:
         """(batch_seq, files, pending_units) for every batch with work.
 
-        New files are assigned to a fresh batch and recorded in the
-        ingest log BEFORE any processing (write-ahead), so the
-        file→batch mapping survives a crash between discovery and the
-        first increment."""
-        batches = self.store.ingest_batches(self.spark)
-        known = {f for fs in batches.values() for f in fs}
-        new_files = [f for f in self._list_input_files() if f not in known]
+        Lifecycle (the reference's FileCreated / FileRotated /
+        FileRemoved, src/watcher/events.rs:18-65):
+        * new path            -> joins a fresh batch (write-ahead
+          recorded before any processing, with its fingerprint)
+        * known path, same fingerprint -> no-op
+        * known path, CHANGED fingerprint (rewritten/rotated in place)
+          -> its batch is retired and the path re-ingested as new
+        * recorded path now missing -> its batch is retired; surviving
+          siblings of that batch are re-ingested as new
+
+        Retirement is batch-grained: a batch groups the files of one
+        discovery round (one Spark job per increment at scale — 10^5
+        per-file batches would mean 10^5 tiny jobs). Closed log files
+        are immutable in practice, so retirement is the rare path and
+        reprocessing a retired batch's survivors is an acceptable
+        cost for exact retraction."""
+        state, max_seq = self.store.ingest_state(self.spark)
+        current = {p: self._file_fingerprint(p) for p in self._list_input_files()}
+
+        for seq in sorted(state):
+            files = state[seq]
+            reason = None
+            for path, fp in files.items():
+                if path not in current:
+                    reason = f"removed:{path}"
+                    break
+                if current[path] != fp:
+                    reason = f"rotated:{path}"
+                    break
+            if reason:
+                self._retire_batch(seq, reason)
+                del state[seq]
+
+        known = {p for files in state.values() for p in files}
+        new_files = sorted(p for p in current if p not in known)
         if new_files:
-            seq = max(batches, default=-1) + 1
-            self.store.record_ingest(seq, new_files, self.conf.run_id)
-            batches[seq] = new_files
+            seq = max_seq + 1  # never reuse a retired batch's seq
+            self.store.record_ingest(
+                seq, new_files, self.conf.run_id, fingerprints=current
+            )
+            state[seq] = {p: current[p] for p in new_files}
+
         work = []
-        for seq in sorted(batches):
+        for seq in sorted(state):
             done = self.store.committed_units(self.spark, seq)
             pending = [u for u in range(self.conf.n_units) if u not in done]
             if pending:
-                work.append((seq, batches[seq], pending))
+                work.append((seq, sorted(state[seq]), pending))
         return work
 
     # ------------------------------------------------------------ stages
