@@ -68,8 +68,33 @@ def merge_upsert(
 ) -> None:
     """MERGE ``updates`` into table ``name``: new keys insert, existing
     keys keep the row with the greatest ``order_col`` (update wins ties
-    via ``tiebreak``). Partition-scoped: only key-hash buckets present
-    in the update batch are read and rewritten."""
+    via ``tiebreak``).
+
+    Catalogs that expose a MERGE surface (IcebergCatalog's SQL
+    ``MERGE INTO``, LocalSnapshotCatalog's snapshot-committed merge)
+    get the delegated call; plain parquet gets the emulation below —
+    identical semantics either way."""
+    if hasattr(catalog, "merge_into"):
+        catalog.merge_into(
+            spark, name, updates, keys, order_col, n_buckets, tiebreak
+        )
+        return
+    emulated_merge(spark, catalog, name, updates, keys, order_col, n_buckets, tiebreak)
+
+
+def emulated_merge(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    name: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    n_buckets: int = 16,
+    tiebreak: list[str] | None = None,
+) -> None:
+    """Partition-scoped MERGE emulation: read the CURRENT rows of only
+    the key-hash buckets touched by the update batch, merge latest-per-
+    key, dynamically overwrite exactly those buckets."""
     upd = _bucketed(updates, keys, n_buckets).withColumn("_upd", F.lit(1))
     touched = [int(r[BUCKET_COL]) for r in upd.select(BUCKET_COL).distinct().collect()]
     # Explicit first-write detection (NOT try/except around the read):

@@ -74,6 +74,9 @@ class PipelineConfig:
     write_partitions: int = 0  # 0 = one output partition per unit
     run_id: str = "run-0"
     prefer_iceberg: bool = False
+    # 'parquet' | 'snapshot' (Iceberg contract double) | 'iceberg' |
+    # 'auto'; None = legacy prefer_iceberg flag
+    catalog_impl: str | None = None
     lineage_compact_every: int = 64
     extra: dict = field(default_factory=dict)
 
@@ -85,7 +88,9 @@ class Pipeline:
         self.store = LineageStore(
             f"{conf.out_dir}/lineage", compact_every=conf.lineage_compact_every
         )
-        self.catalog = get_catalog(spark, conf.out_dir, conf.prefer_iceberg)
+        self.catalog = get_catalog(
+            spark, conf.out_dir, conf.prefer_iceberg, impl=conf.catalog_impl
+        )
         # Overwrite only the partitions present in the written frame —
         # with the explicit pre-delete this makes crashed-increment
         # output harmless regardless of sink-set changes.
@@ -284,7 +289,15 @@ class Pipeline:
             .agg(F.sum("cnt").alias("rows"), F.sum("sum_bytes").alias("bytes"))
             .collect()
         )
-        snapshot_id = int(time.time() * 1000)
+        # Real table snapshot id when the catalog has one (Iceberg /
+        # the contract double): 'resumes from the last committed
+        # snapshot' becomes literal — lineage rows name the routed
+        # table commit they correspond to. Parquet falls back to a
+        # wall-clock id (monotonic enough for ordering diagnostics).
+        if hasattr(self.catalog, "current_snapshot_id"):
+            snapshot_id = int(self.catalog.current_snapshot_id("routed"))
+        else:
+            snapshot_id = int(time.time() * 1000)
         lineage_rows = [
             {
                 "run_id": conf.run_id,

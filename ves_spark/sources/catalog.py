@@ -164,11 +164,83 @@ class IcebergCatalog(TableCatalog):
     def overwrite_partitions(self, df, name, partition_by=()):
         df.writeTo(self._tbl(name)).overwritePartitions()
 
+    def current_snapshot_id(self, name: str) -> int | None:
+        spark = SparkSession.getActiveSession()
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
 
-def get_catalog(spark: SparkSession, root: str, prefer_iceberg: bool = True) -> TableCatalog:
-    if prefer_iceberg:
+    def merge_into(
+        self,
+        spark,
+        name: str,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str,
+        n_buckets: int = 16,
+        tiebreak: list[str] | None = None,
+    ) -> None:
+        """Real row-level MERGE INTO. Updates are pre-deduped to one
+        row per key (MERGE requires a unique source match), keeping
+        the row with the greatest (order_col, tiebreak...)."""
+        from ves_spark.operators.upsert import latest_per_key
+
+        if not self.exists(spark, name):
+            updates.writeTo(self._tbl(name)).create()
+            return
+        view = f"_merge_src_{name.replace('.', '_')}"
+        latest_per_key(updates, keys, order_col, tiebreak).createOrReplaceTempView(
+            view
+        )
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        order_cols = [order_col, *(tiebreak or [])]
+        # lexicographic "s is strictly newer, or a full tie" (a full
+        # tie goes to the update — MERGE 'when matched' semantics,
+        # matching emulated_merge's _upd-last tiebreak)
+        terms = [
+            "("
+            + " AND ".join(
+                [f"s.{c} = t.{c}" for c in order_cols[:i]]
+                + [f"s.{order_cols[i]} > t.{order_cols[i]}"]
+            )
+            + ")"
+            for i in range(len(order_cols))
+        ]
+        terms.append(
+            "(" + " AND ".join(f"s.{c} = t.{c}" for c in order_cols) + ")"
+        )
+        newer = " OR ".join(terms)
+        spark.sql(
+            f"MERGE INTO {self._tbl(name)} t USING {view} s ON {on} "
+            f"WHEN MATCHED AND ({newer}) THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def get_catalog(
+    spark: SparkSession,
+    root: str,
+    prefer_iceberg: bool = True,
+    impl: str | None = None,
+) -> TableCatalog:
+    """impl: 'parquet' | 'snapshot' (Iceberg contract double, see
+    ICEBERG.md) | 'iceberg' (requires the runtime jar) | 'auto'
+    (iceberg if available, else parquet — legacy prefer_iceberg)."""
+    if impl is None:
+        impl = "auto" if prefer_iceberg else "parquet"
+    if impl == "parquet":
+        return ParquetCatalog(root)
+    if impl == "snapshot":
+        from ves_spark.sources.snapshot_catalog import LocalSnapshotCatalog
+
+        return LocalSnapshotCatalog(root)
+    if impl == "iceberg":
+        return IcebergCatalog(spark)
+    if impl == "auto":
         try:
             return IcebergCatalog(spark)
         except RuntimeError:
-            pass
-    return ParquetCatalog(root)
+            return ParquetCatalog(root)
+    raise ValueError(f"unknown catalog impl: {impl!r}")

@@ -95,6 +95,60 @@ def finalize_stream_percentiles(hist: DataFrame, p: int = 7) -> DataFrame:
     )
 
 
+def deliver_to_sinks(catalog, table_prefix: str = "sink_"):
+    """foreachBatch writer: per-sink fan-out through the TableCatalog
+    seam (the reference's event dispatcher, one write per sink).
+
+    Exactly-once: Structured Streaming's checkpoint gives at-least-once
+    foreachBatch invocations with a stable ``batch_id``; writing each
+    micro-batch as an overwrite of its own ``_batch_id`` partition
+    makes redelivery idempotent — the canonical replayable-sink
+    pattern. The batch is persisted once and sliced per sink (the sink
+    set is bounded by the route rules, so the driver-side distinct is
+    metadata-sized)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        stamped = batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+        stamped.persist()
+        try:
+            sinks = [r["sink"] for r in stamped.select("sink").distinct().collect()]
+            for s in sinks:
+                catalog.overwrite_partitions(
+                    stamped.filter(F.col("sink") == s).drop("sink"),
+                    f"{table_prefix}{s}",
+                    ["_batch_id"],
+                )
+        finally:
+            stamped.unpersist()
+
+    return deliver
+
+
+def run_per_sink_delivery(
+    spark: SparkSession,
+    sequences_dir: str,
+    source_meta_path: str,
+    route_rules_path: str,
+    catalog,
+    checkpoint_dir: str,
+) -> None:
+    """Drive the routed stream to completion, delivering per-sink
+    tables via foreachBatch (production shape; tests run it on a
+    finite directory)."""
+    stream = open_stream(spark, sequences_dir)
+    routed = stream_transform(
+        spark, stream, source_meta_path, route_rules_path
+    )
+    q = (
+        routed.writeStream.foreachBatch(deliver_to_sinks(catalog))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def open_stream(spark: SparkSession, sequences_dir: str) -> DataFrame:
     """readStream over a parquet directory of token sequences."""
     return (
