@@ -23,6 +23,48 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = [2, 8, 32]
+PROBE_LEVELS = [8, 32]
+
+_MEASURED_PATHS = ["ves_spark", "bench.py", "BENCH/compute_probe.py"]
+
+
+def _code_sha() -> str:
+    """Revision of the MEASURED code (ves_spark + bench harness):
+    capacity estimates only pool history samples from this revision,
+    so a perf regression at HEAD can't hide behind an old maximum.
+    Docs-only commits don't invalidate history. '-dirty' marks
+    uncommitted changes to the measured paths (matches nothing)."""
+    try:
+        sha = subprocess.run(
+            ["git", "log", "-1", "--format=%h", "--", *_MEASURED_PATHS],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", *_MEASURED_PATHS],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        return (sha or "unknown") + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
+def run_probe(cpus: int) -> dict:
+    """Compute-bound control (compute_probe.py): same Spark stack, two
+    parallelism levels, ~zero memory traffic."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "compute_probe.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1200,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def run_bench(cpus: int, rows: int) -> dict:
@@ -138,6 +180,7 @@ def main() -> None:
     # big enough that compute dominates fixed job overheads at 4N
     rows = int(os.environ.get("VES_SCALING_ROWS", "16000000"))
     reps = int(os.environ.get("VES_SCALING_REPS", "2"))
+    sha = _code_sha()
 
     # Per-level capacity = BEST throughput across `reps` interleaved
     # invocations (each itself warm min-of-4): on this shared VM,
@@ -169,6 +212,7 @@ def main() -> None:
                 json.dumps(
                     {
                         "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+                        "sha": sha,
                         "cpus": cpus,
                         "rows": rows,
                         "thr_mseq_s": r["throughput_mseq_per_sec"],
@@ -185,16 +229,26 @@ def main() -> None:
     # invocation — the full sample history is in scaling_history.jsonl,
     # nothing is discarded. Observed per-level spread across identical
     # runs is ±50%, far above the 4x signal being measured.
+    # … but only over samples from the CURRENT code revision: pooling
+    # older-revision maxima would permanently mask a regression at HEAD.
     best: dict[int, dict] = {}
+    n_samples = 0
     with open(hist_path) as hf:
         for line in hf:
             s = json.loads(line)
-            if s["rows"] != rows:
+            if s["rows"] != rows or s.get("sha") != sha:
                 continue
+            n_samples += 1
             c = s["cpus"]
             if c not in best or s["thr_mseq_s"] > best[c]["thr_mseq_s"]:
                 best[c] = s
-    n_samples = sum(1 for _ in open(hist_path))
+    missing = [c for c in LEVELS if c not in best]
+    if missing:
+        raise SystemExit(
+            f"no samples at code revision {sha} for levels {missing}; "
+            "run without VES_SCALING_REPORT_ONLY to measure them "
+            "(history from other revisions is never pooled)"
+        )
 
     thr = {c: best[c]["thr_mseq_s"] for c in LEVELS}
     walls = {c: best[c]["wall_sec"] for c in LEVELS}
@@ -223,11 +277,39 @@ def main() -> None:
             for c in LEVELS:
                 bw[c] = max(bw[c], s.get(str(c), s.get(c, 0.0)))
 
-    featured = (
-        ("N=8 → 4N=32 (local[8] vs local[32])", eff_8_32)
-        if eff_8_32 >= eff_2_8
-        else ("N=2 → 4N=8 (local[2] vs local[8])", eff_2_8)
+    # ---------------------------------------- compute-bound control
+    # Same Spark stack, 8 vs 32 threads, ~zero memory traffic: shows
+    # what the box's thread-scaling is when the shared bus isn't the
+    # limiter. Same sha-scoped max-over-samples estimator.
+    probe_hist = os.path.join(REPO, "BENCH", "compute_history.jsonl")
+    if schedule:  # fresh measurement run (not report-only)
+        for cpus in PROBE_LEVELS:
+            wait_idle()
+            pr = run_probe(cpus)
+            pr.update(
+                ts=datetime.now(timezone.utc).isoformat(timespec="seconds"),
+                sha=sha,
+            )
+            with open(probe_hist, "a") as pf:
+                pf.write(json.dumps(pr) + "\n")
+    probe_best: dict[int, float] = {}
+    if os.path.exists(probe_hist):
+        with open(probe_hist) as pf:
+            for line in pf:
+                s = json.loads(line)
+                if s.get("sha") != sha:
+                    continue
+                c = s["cpus"]
+                probe_best[c] = max(probe_best.get(c, 0.0), s["ghash_s"])
+    probe_eff = (
+        (probe_best[32] / probe_best[8]) / 4
+        if 8 in probe_best and 32 in probe_best
+        else None
     )
+
+    # The FEATURED pair is fixed at the canonical N=8 -> 4N=32 — never
+    # selected by outcome (that would bias the headline).
+    featured = ("N=8 → 4N=32 (local[8] vs local[32])", eff_8_32)
 
     md = f"""# BENCH/BASELINE — measured performance & scaling evidence
 
@@ -242,12 +324,14 @@ min of 4 per invocation, idle-gated) at three parallelism levels on
 the same input — the sandbox stand-in for N vs 4N executors mandated
 by BASELINE.json.
 
-Per-level capacity = best over all {n_samples} recorded invocations
-(`BENCH/scaling_history.jsonl` — every sample kept): noise on this
-shared, lazily-paged VM is strictly subtractive (host steal / cold
-page pool only ever slows a run), with ±50% spread across identical
-runs, so max-over-samples is the consistent capacity estimator for
-every level alike.
+Per-level capacity = best over the {n_samples} recorded invocations
+**at the current code revision `{sha}`** (`BENCH/scaling_history.jsonl`
+keeps every sample ever taken, sha-tagged; older-revision samples are
+never pooled, so a regression at HEAD cannot hide behind a historical
+maximum): noise on this shared, lazily-paged VM is strictly
+subtractive (host steal / cold page pool only ever slows a run), with
+±50% spread across identical runs, so max-over-samples is the
+consistent capacity estimator for every level alike.
 
 | parallelism | best wall (s) | best throughput (M seq/s) | copy bandwidth avail. |
 |---|---|---|---|
@@ -256,23 +340,36 @@ every level alike.
 | local[32] | {walls[32]} | {thr[32]} | {bw[32]} GB/s |
 
 **Scaling efficiency {featured[0]} = {featured[1]:.3f}**
-(target ≥ 0.8{" — MET" if featured[1] >= 0.8 else " — NOT MET"})
+(target ≥ 0.8{" — MET" if featured[1] >= 0.8 else " — NOT MET on this single-box pair; see the control below"})
 
-Both N→4N pairs, honestly: 2→8 = {eff_2_8:.3f}, 8→32 = {eff_8_32:.3f}.
+The featured pair is FIXED at the canonical 8→32 — never selected by
+outcome. Both N→4N pairs: 2→8 = {eff_2_8:.3f}, 8→32 = {eff_8_32:.3f}.
 
-The pair above is the valid single-box reading of the rule ("N and 4N
-cores"); the other pair is distorted by this box's shared memory bus,
-as the bandwidth column shows: the bus tops out near {bw[32]} GB/s and
-8 threads already reach {bw[8]} GB/s (~{100*bw[8]/bw[32]:.0f}% of it),
-so 8 → 32 threads adds {bw[32]/bw[8]:.2f}× bandwidth, not 4× — the
-job's scan+shuffle becomes bus-bound, which is a property of the
-sandbox, not the plan. On a real cluster, 4N executors bring 4N
-memory buses and page caches; there is no algorithmic serialization in
-the job itself: the parse→enrich→route stage is embarrassingly
-parallel (zero shuffles) and the single rollup exchange carries only
-map-side-combined partials. All three levels are reported so any pair
-can be recomputed; the raw sample history (throughput AND bandwidth)
-ships in `BENCH/*.jsonl`.
+Why the 8→32 pipeline number undershoots on this box, with the
+controls that isolate the cause:
+
+1. **The shared memory bus saturates below 32 threads** (bandwidth
+   column): the bus tops out near {bw[32]} GB/s and 8 threads already
+   reach {bw[8]} GB/s (~{100*bw[8]/bw[32]:.0f}% of it), so 8 → 32
+   threads adds {bw[32]/bw[8]:.2f}× bandwidth, not 4× — the job's
+   scan+shuffle becomes bus-bound above ~8 threads.
+2. **Compute-bound control (`BENCH/compute_probe.py`)**: the same
+   Spark stack (scheduler, codegen, task dispatch) running an
+   xxhash64 chain over `spark.range` — ~zero memory traffic —
+   measures {probe_best.get(8, float("nan")):.1f} Ghash/s at local[8]
+   vs {probe_best.get(32, float("nan")):.1f} Ghash/s at local[32]:
+   **8→32 efficiency {probe_eff if probe_eff is None else format(probe_eff, ".3f")}**.
+   When the bus is out of the picture, thread-scaling through the
+   whole Spark stack is intact — the pipeline's 8→32 shortfall is the
+   sandbox's single bus, not the plan or the runtime.
+
+On a real cluster, 4N executors bring 4N memory buses and page
+caches; there is no algorithmic serialization in the job itself: the
+parse→enrich→route stage is embarrassingly parallel (zero shuffles)
+and the single rollup exchange carries only map-side-combined
+partials. All three levels are reported so any pair can be
+recomputed; the raw sample history (throughput, bandwidth, AND the
+compute probe) ships sha-tagged in `BENCH/*.jsonl`.
 
 ## Per-query walls at local[32] (sf0.1 testdata)
 
@@ -307,8 +404,10 @@ min-of-4 (see bench.py).
                 "unit": "ratio",
                 "eff_8_32": round(eff_8_32, 3),
                 "eff_2_8": round(eff_2_8, 3),
+                "probe_eff_8_32": None if probe_eff is None else round(probe_eff, 3),
                 "thr_mseq_s": {str(k): v for k, v in thr.items()},
                 "rows": rows,
+                "sha": sha,
             }
         )
     )
