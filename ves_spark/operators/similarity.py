@@ -231,3 +231,66 @@ def cosine_topk_lsh(
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    stride: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization —
+    the second scale path next to LSH: every corpus vector is assigned
+    to its nearest coarse centroid once (the inverted lists), and a
+    query only scores the lists of its ``n_probe`` nearest centroids.
+
+    Centroids here are a deterministic 1/``stride`` slice of the corpus
+    itself (``id % stride == 0``) so the whole computation is exactly
+    reproducible in any engine (the DuckDB oracle replays it
+    bit-for-bit); a production deployment would swap in k-means
+    centroids trained offline — the operator shape is unchanged, only
+    the centroid table differs.
+
+    Scale shape: the centroid table is tiny (n/stride rows) and
+    BROADCAST — assignment is one map-side pass over the corpus
+    (n x n/stride multiply-adds, the standard IVF build cost, BLAS-able
+    via the matmul kernel pattern above); the probe join is an
+    equi-join on ``cent_id``, so a query never touches out-of-list
+    candidates and the shuffle key is one small int."""
+    cents = corpus.filter((F.col(c_id) % stride) == 0).select(
+        F.col(c_id).alias("cent_id"), F.col(c_vec).alias("cent_vec")
+    )
+
+    def nearest(df, idc, vecc, top):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            idc,
+            vecc,
+            "cent_id",
+            cosine(F.col(vecc), F.col("cent_vec")).alias("_ccos"),
+        )
+        w = W.partitionBy(idc).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top)
+            .drop("_rn", "_ccos")
+        )
+
+    assign = nearest(corpus, c_id, c_vec, 1)          # inverted lists
+    probes = nearest(queries, q_id, q_vec, n_probe)   # query probe set
+    pairs = (
+        assign.join(probes, "cent_id")
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, q_vec, c_vec)
+    )
+    scored = pairs.select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -822,6 +822,72 @@ def _ann_lsh_oracle_sql(n_planes: int = 3, n_tables: int = 12, dim: int = 64) ->
     """
 
 
+def _ann_ivf_oracle_sql(stride: int = 32, n_probe: int = 8, dim: int = 64) -> str:
+    """DuckDB replica of cosine_topk_ivf: centroids are the same
+    deterministic corpus slice (vec_id % stride = 0) in both engines,
+    assignment/probing use the same double-cast sequential-fold cosine
+    with the same (cos DESC, cent_id) tiebreak, so the inverted lists,
+    probe sets, and final top-k are bit-identical."""
+    cos = (
+        "(list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]) / "
+        "(sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})])) * "
+        "sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]))))"
+    )
+    c_cent = cos.format(a="c_vec", b="cent_vec")
+    q_cent = cos.format(a="q_vec", b="cent_vec")
+    q_c = cos.format(a="q_vec", b="c_vec")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % {stride} = 0
+    ),
+    assign AS (
+      SELECT c_id, c_vec, cent_id FROM (
+        SELECT c.vec_id AS c_id, c.embedding AS c_vec, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id ORDER BY {c_cent} DESC, cent_id) AS rn
+        FROM embeddings c CROSS JOIN cents) t
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, q_vec, cent_id FROM (
+        SELECT q.q_id, q.q_vec, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id ORDER BY {q_cent} DESC, cent_id) AS rn
+        FROM q CROSS JOIN cents) t
+      WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT q_id, c_id, round({q_c}, 6) AS cos
+      FROM probes JOIN assign USING (cent_id)
+      WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, cos, rnk FROM (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+    """
+
+
+@register("ann_ivf_topk", _ann_ivf_oracle_sql())
+def ann_ivf_topk_q(spark, sf_dir):
+    from ves_spark.operators.similarity import cosine_topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return cosine_topk_ivf(queries_df, corpus, k=5, stride=32, n_probe=8)
+
+
 @register("ann_lsh_topk", _ann_lsh_oracle_sql())
 def ann_lsh_topk_q(spark, sf_dir):
     from ves_spark.operators.similarity import cosine_topk_lsh
