@@ -25,14 +25,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = [2, 8, 32]
 PROBE_LEVELS = [8, 32]
 
-_MEASURED_PATHS = ["ves_spark", "bench.py", "BENCH/compute_probe.py"]
+# The files that DEFINE the benched job (bench_pipeline = synth input
+# -> parse -> enrich -> route -> rollup on a session.py-configured
+# local session). Harness-only edits (rep-count knobs, report text)
+# must not invalidate engine samples, so bench.py/BENCH are excluded;
+# their history is visible through sample timestamps.
+_MEASURED_PATHS = [
+    "ves_spark/parse.py",
+    "ves_spark/enrich.py",
+    "ves_spark/route.py",
+    "ves_spark/aggregate.py",
+    "ves_spark/session.py",
+    "ves_spark/synth.py",
+    "ves_spark/schema.py",
+]
 
 
 def _code_sha() -> str:
-    """Revision of the MEASURED code (ves_spark + bench harness):
-    capacity estimates only pool history samples from this revision,
-    so a perf regression at HEAD can't hide behind an old maximum.
-    Docs-only commits don't invalidate history. '-dirty' marks
+    """Revision of the MEASURED engine code: capacity estimates only
+    pool history samples from this revision, so a perf regression at
+    HEAD can't hide behind an old maximum. Commits not touching the
+    benched stages don't invalidate history. '-dirty' marks
     uncommitted changes to the measured paths (matches nothing)."""
     try:
         sha = subprocess.run(

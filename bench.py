@@ -88,15 +88,17 @@ def bench_pipeline(spark, fix_dir: str, n_rows: int) -> dict:
     # Keep warming until two consecutive warmup walls stop improving
     # materially, then min-of-4 — the min is the right estimator under
     # one-sided external noise.
+    max_warm = int(os.environ.get("VES_BENCH_MAX_WARMUPS", "4"))
+    timed = int(os.environ.get("VES_BENCH_TIMED_RUNS", "4"))
     prev, _ = run_once()
-    for _ in range(4):
+    for _ in range(max_warm):
         w, _ = run_once()
         if w > prev * 0.8:
             break
         prev = w
     walls = []
     stats = None
-    for _ in range(4):
+    for _ in range(timed):
         w, stats = run_once()
         walls.append(w)
     wall = min(walls)
