@@ -78,11 +78,20 @@ def parse_builtin(df: DataFrame) -> DataFrame:
 
 def _parse_kernel_fn(tokens: pd.Series) -> pd.DataFrame:
     """Arrow-vectorized parse kernel. ``tokens`` arrives as a Series of
-    numpy int32 arrays; all math is numpy-vectorized per batch —
-    no per-row Python beyond the cheap head-slice gather."""
+    numpy int32 arrays; all math is numpy-vectorized per batch — the
+    head gather is one concatenate + fancy-index, zero per-row Python
+    (np.concatenate over the Series' array list is a single C pass)."""
     import numpy as np
 
-    head = np.stack([np.asarray(a[:3], dtype=np.int64) for a in tokens])
+    arrs = tokens.to_numpy()
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = (
+        np.concatenate(arrs) if len(arrs) else np.empty(0, dtype=np.int64)
+    ).astype(np.int64, copy=False)
+    if len(lens) and lens.min() < 3:
+        raise ValueError("parse contract: every sequence needs >= 3 tokens")
+    starts = np.cumsum(lens) - lens
+    head = flat[starts[:, None] + np.arange(3)]
     level_id = (head[:, 0] % 8).astype(np.int32)
     ts_minute = head[:, 1].astype(np.int32)
     status_code = ((head[:, 2] % 5 + 1) * 100 + head[:, 2] % 100).astype(np.int32)
