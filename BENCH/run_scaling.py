@@ -41,21 +41,22 @@ _MEASURED_PATHS = [
 ]
 
 
-def _code_sha() -> str:
-    """Revision of the MEASURED engine code: capacity estimates only
-    pool history samples from this revision, so a perf regression at
-    HEAD can't hide behind an old maximum. Commits not touching the
-    benched stages don't invalidate history. '-dirty' marks
-    uncommitted changes to the measured paths (matches nothing)."""
+# The probe job touches none of the pipeline stages — only the session
+# config and its own source — so it has its own revision scope (a
+# parse.py commit must not invalidate probe samples and vice versa).
+_PROBE_PATHS = ["ves_spark/session.py", "BENCH/compute_probe.py"]
+
+
+def _paths_sha(paths: list[str]) -> str:
     try:
         sha = subprocess.run(
-            ["git", "log", "-1", "--format=%h", "--", *_MEASURED_PATHS],
+            ["git", "log", "-1", "--format=%h", "--", *paths],
             cwd=REPO,
             capture_output=True,
             text=True,
         ).stdout.strip()
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--", *_MEASURED_PATHS],
+            ["git", "status", "--porcelain", "--", *paths],
             cwd=REPO,
             capture_output=True,
             text=True,
@@ -63,6 +64,15 @@ def _code_sha() -> str:
         return (sha or "unknown") + ("-dirty" if dirty else "")
     except Exception:
         return "unknown"
+
+
+def _code_sha() -> str:
+    """Revision of the MEASURED engine code: capacity estimates only
+    pool history samples from this revision, so a perf regression at
+    HEAD can't hide behind an old maximum. Commits not touching the
+    benched stages don't invalidate history. '-dirty' marks
+    uncommitted changes to the measured paths (matches nothing)."""
+    return _paths_sha(_MEASURED_PATHS)
 
 
 def run_probe(cpus: int) -> dict:

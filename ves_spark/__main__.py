@@ -39,6 +39,22 @@ def main(argv: list[str] | None = None) -> None:
         help="use the Iceberg catalog when the runtime jar is present",
     )
     p.add_argument(
+        "--catalog",
+        choices=["parquet", "snapshot", "iceberg", "auto"],
+        default=None,
+        help="table-format backend: parquet dirs, the local snapshot "
+        "catalog (Iceberg semantics without the jar, see ICEBERG.md), "
+        "real Iceberg, or auto (iceberg if available); overrides "
+        "--prefer-iceberg",
+    )
+    p.add_argument(
+        "--lineage-compact-every",
+        type=int,
+        default=64,
+        help="fold lineage commit files into one compacted parquet "
+        "when the live file count reaches this",
+    )
+    p.add_argument(
         "--watch-interval",
         type=float,
         default=0.0,
@@ -60,6 +76,8 @@ def main(argv: list[str] | None = None) -> None:
         write_partitions=args.write_partitions,
         run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
         prefer_iceberg=args.prefer_iceberg,
+        catalog_impl=args.catalog,
+        lineage_compact_every=args.lineage_compact_every,
     )
     pipe = Pipeline(spark, conf)
     stats = pipe.run()
