@@ -305,13 +305,14 @@ def main() -> None:
     # what the box's thread-scaling is when the shared bus isn't the
     # limiter. Same sha-scoped max-over-samples estimator.
     probe_hist = os.path.join(REPO, "BENCH", "compute_history.jsonl")
+    probe_sha = _paths_sha(_PROBE_PATHS)
     if schedule:  # fresh measurement run (not report-only)
         for cpus in PROBE_LEVELS:
             wait_idle()
             pr = run_probe(cpus)
             pr.update(
                 ts=datetime.now(timezone.utc).isoformat(timespec="seconds"),
-                sha=sha,
+                sha=probe_sha,
             )
             with open(probe_hist, "a") as pf:
                 pf.write(json.dumps(pr) + "\n")
@@ -320,7 +321,7 @@ def main() -> None:
         with open(probe_hist) as pf:
             for line in pf:
                 s = json.loads(line)
-                if s.get("sha") != sha:
+                if s.get("sha") != probe_sha:
                     continue
                 c = s["cpus"]
                 probe_best[c] = max(probe_best.get(c, 0.0), s["ghash_s"])

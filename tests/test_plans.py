@@ -109,3 +109,20 @@ def test_vocab_topk_is_distributed_topk(spark, fixture_dir):
     df = queries()["vocab_topk_words"](spark, sf)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivf_plan_broadcasts_centroids(spark):
+    """IVF's scale contract in the plan: the centroid table is
+    BROADCAST on both the assignment and probe sides (map-side
+    nested-loop against a tiny table, no shuffle of the corpus for
+    assignment), and the probe->list join is an equi-join on cent_id —
+    the corpus is never cross-joined against the query set."""
+    from ves_spark.queries import queries
+
+    df = queries()["ann_ivf_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast(cents)
+    # candidate generation is keyed on cent_id, not an all-pairs cross:
+    # exactly the two centroid cross-joins, no third
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "cent_id" in plan
