@@ -294,3 +294,50 @@ def cosine_topk_ivf(
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 1234,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    bucket_impl: str = "exploded",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family member
+    for embedding columns): unordered id pairs with cosine >=
+    ``threshold``, candidates from a multi-table LSH self-join — the
+    same (table, bucket) equi-join shape as ``cosine_topk_lsh``, so
+    the corpus is never compared all-pairs. Approximate in the LSH
+    sense: a true near-dup pair is found iff it collides in >= 1
+    table (recall 1-(1-p^b)^L); every returned pair's cosine is exact.
+    Columns: (id_a, id_b, cos) with id_a < id_b."""
+    tables = [_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+    if bucket_impl == "exploded":
+        cb = _bucketize_exploded(corpus, c_id, c_vec, tables)
+    else:
+        cb = corpus.select(
+            c_id, c_vec, F.explode(_table_buckets(F.col(c_vec), tables)).alias("_tb")
+        ).select(c_id, c_vec, "_tb.tbl", "_tb.bkt")
+    a = cb.select(
+        F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"), "tbl", "bkt"
+    )
+    b = cb.select(
+        F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"), "tbl", "bkt"
+    )
+    pairs = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -876,6 +876,83 @@ def _ann_ivf_oracle_sql(stride: int = 32, n_probe: int = 8, dim: int = 64) -> st
     """
 
 
+def _embed_near_dup_oracle_sql(
+    threshold: float = 0.9, n_planes: int = 4, n_tables: int = 4, dim: int = 64
+) -> str:
+    """DuckDB replica of cosine_near_dup_pairs over a planted corpus:
+    the synth embeddings have no natural near-dups (max pairwise
+    cosine 0.51), so the query unions each vector with a copy (id +
+    1e6) whose LAST component is zeroed — cosine ~0.999, a planted
+    near-dup both engines construct identically. The LSH candidate
+    generation (same plane literals, same sequential-fold dots) and
+    the exact cosine filter then replay bit-for-bit."""
+    from ves_spark.operators.similarity import _planes
+
+    tables = [_planes(dim, n_planes, 1234 + 7919 * t) for t in range(n_tables)]
+
+    def dot(vec: str, plane: list[float]) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        return (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({lit})[i] "
+            f"FOR i IN range(1, {dim + 1})])"
+        )
+
+    def bucket(vec: str, planes: list[list[float]]) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {dot(vec, p)} > 0 THEN {1 << b} ELSE 0 END)"
+            for b, p in enumerate(planes)
+        ) + ")"
+
+    cb = "\n      UNION ALL ".join(
+        f"SELECT c_id, c_vec, {t} AS tbl, {bucket('c_vec', planes)} AS bkt "
+        "FROM corpus"
+        for t, planes in enumerate(tables)
+    )
+    norm = (
+        "sqrt(list_sum([CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]))"
+    )
+    cos = (
+        f"list_sum([CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]) / ({norm.format(v='va')} * {norm.format(v='vb')})"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS c_id,
+             embedding[1:{dim - 1}] || [CAST(0.0 AS FLOAT)] AS c_vec
+      FROM embeddings
+    ),
+    cb AS ({cb}),
+    cand AS (
+      SELECT DISTINCT a.c_id AS id_a, b.c_id AS id_b, a.c_vec AS va, b.c_vec AS vb
+      FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.c_id < b.c_id
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b, round({cos}, 6) AS cos FROM cand) t
+    WHERE cos >= {threshold}
+    """
+
+
+@register("embedding_near_dup_pairs", _embed_near_dup_oracle_sql())
+def embedding_near_dup_pairs_q(spark, sf_dir):
+    from ves_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    mutated = e.select(
+        (F.col("vec_id") + 1_000_000).alias("c_id"),
+        F.concat(
+            F.slice(F.col("embedding"), 1, 63),
+            F.array(F.lit(0.0).cast("float")),
+        ).alias("c_vec"),
+    )
+    return cosine_near_dup_pairs(
+        base.unionAll(mutated), threshold=0.9, n_planes=4, n_tables=4, dim=64
+    )
+
+
 @register("ann_ivf_topk", _ann_ivf_oracle_sql())
 def ann_ivf_topk_q(spark, sf_dir):
     from ves_spark.operators.similarity import cosine_topk_ivf
