@@ -877,7 +877,7 @@ def _ann_ivf_oracle_sql(stride: int = 32, n_probe: int = 8, dim: int = 64) -> st
 
 
 def _embed_near_dup_oracle_sql(
-    threshold: float = 0.9, n_planes: int = 4, n_tables: int = 4, dim: int = 64
+    threshold: float = 0.9, n_planes: int = 16, n_tables: int = 4, dim: int = 64
 ) -> str:
     """DuckDB replica of cosine_near_dup_pairs over a planted corpus:
     the synth embeddings have no natural near-dups (max pairwise
@@ -948,8 +948,12 @@ def embedding_near_dup_pairs_q(spark, sf_dir):
             F.array(F.lit(0.0).cast("float")),
         ).alias("c_vec"),
     )
+    # 16 planes/table: on diffuse vectors, 4-bit buckets admit ~22%
+    # of ALL pairs as candidates (measured 34 s at sf0.1); 16-bit cuts
+    # random-pair collisions to ~1.5e-5 while a cos~0.999 near-dup
+    # still collides in >=1 of 4 tables w.p. ~0.998.
     return cosine_near_dup_pairs(
-        base.unionAll(mutated), threshold=0.9, n_planes=4, n_tables=4, dim=64
+        base.unionAll(mutated), threshold=0.9, n_planes=16, n_tables=4, dim=64
     )
 
 
