@@ -100,6 +100,26 @@ class ParquetCatalog(TableCatalog):
         w.parquet(self._path(name))
 
 
+def newer_or_tie_predicate(order_cols: list[str]) -> str:
+    """SQL predicate: source row ``s`` is lexicographically strictly
+    newer than target row ``t`` over ``order_cols``, OR a full tie (a
+    full tie goes to the update — MERGE 'when matched' semantics,
+    matching emulated_merge's _upd-last tiebreak). Extracted so the
+    logic is unit-testable without the Iceberg jar (the MERGE itself
+    cannot run here; see ICEBERG.md)."""
+    terms = [
+        "("
+        + " AND ".join(
+            [f"s.{c} = t.{c}" for c in order_cols[:i]]
+            + [f"s.{order_cols[i]} > t.{order_cols[i]}"]
+        )
+        + ")"
+        for i in range(len(order_cols))
+    ]
+    terms.append("(" + " AND ".join(f"s.{c} = t.{c}" for c in order_cols) + ")")
+    return " OR ".join(terms)
+
+
 def _iceberg_available(spark: SparkSession, catalog_name: str) -> bool:
     try:
         impl = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
@@ -195,23 +215,7 @@ class IcebergCatalog(TableCatalog):
             view
         )
         on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        order_cols = [order_col, *(tiebreak or [])]
-        # lexicographic "s is strictly newer, or a full tie" (a full
-        # tie goes to the update — MERGE 'when matched' semantics,
-        # matching emulated_merge's _upd-last tiebreak)
-        terms = [
-            "("
-            + " AND ".join(
-                [f"s.{c} = t.{c}" for c in order_cols[:i]]
-                + [f"s.{order_cols[i]} > t.{order_cols[i]}"]
-            )
-            + ")"
-            for i in range(len(order_cols))
-        ]
-        terms.append(
-            "(" + " AND ".join(f"s.{c} = t.{c}" for c in order_cols) + ")"
-        )
-        newer = " OR ".join(terms)
+        newer = newer_or_tie_predicate([order_col, *(tiebreak or [])])
         spark.sql(
             f"MERGE INTO {self._tbl(name)} t USING {view} s ON {on} "
             f"WHEN MATCHED AND ({newer}) THEN UPDATE SET * "
