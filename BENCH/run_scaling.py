@@ -90,6 +90,18 @@ def run_probe(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_hw_probe() -> dict:
+    """Hardware control (hw_probe.py): pure OS processes, no JVM, no
+    Spark — what the BOX gives identical CPU work at 8 vs 32 procs."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "hw_probe.py")],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_bench(cpus: int, rows: int) -> dict:
     env = dict(os.environ)
     env.update(
@@ -331,6 +343,32 @@ def main() -> None:
         else None
     )
 
+    # ------------------------------------------------ hardware control
+    # No JVM, no Spark: pure OS processes on an in-L1 integer kernel.
+    # Decomposes the Spark probe's shortfall: whatever THIS loses at
+    # 8->32 is the machine (all-core clock / hypervisor on a 32-vCPU
+    # guest), and only the remainder is attributable to the Spark
+    # stack. Estimator: best-over-history (same subtractive noise).
+    hw_hist = os.path.join(REPO, "BENCH", "hw_history.jsonl")
+    if schedule:
+        wait_idle()
+        hw = run_hw_probe()
+        hw["ts"] = datetime.now(timezone.utc).isoformat(timespec="seconds")
+        with open(hw_hist, "a") as hf:
+            hf.write(json.dumps(hw) + "\n")
+    hw_best: dict[str, float] = {}
+    if os.path.exists(hw_hist):
+        with open(hw_hist) as hf:
+            for line in hf:
+                s = json.loads(line)
+                for k, v in s["gops"].items():
+                    hw_best[k] = max(hw_best.get(k, 0.0), v)
+    hw_eff = (
+        (hw_best["32"] / hw_best["8"]) / 4
+        if "8" in hw_best and "32" in hw_best
+        else None
+    )
+
     # The FEATURED pair is fixed at the canonical N=8 -> 4N=32 — never
     # selected by outcome (that would bias the headline).
     featured = ("N=8 → 4N=32 (local[8] vs local[32])", eff_8_32)
@@ -383,17 +421,32 @@ controls that isolate the cause:
    measures {probe_best.get(8, float("nan")):.1f} Ghash/s at local[8]
    vs {probe_best.get(32, float("nan")):.1f} Ghash/s at local[32]:
    **8→32 efficiency {probe_eff if probe_eff is None else format(probe_eff, ".3f")}**.
-   When the bus is out of the picture, thread-scaling through the
-   whole Spark stack is intact — the pipeline's 8→32 shortfall is the
-   sandbox's single bus, not the plan or the runtime.
+3. **Hardware control (`BENCH/hw_probe.py`, NO JVM / NO Spark)**:
+   N independent OS processes running an in-L1 integer-hash kernel —
+   zero bus traffic, zero runtime, zero synchronization — measure
+   {hw_best.get("8", float("nan")):.2f} Gops/s at 8 procs vs
+   {hw_best.get("32", float("nan")):.2f} Gops/s at 32:
+   **8→32 efficiency {hw_eff if hw_eff is None else format(hw_eff, ".3f")}**.
+   This is the best any 8→32 thread scale-up can do on this box:
+   per-core clock drops as more vCPUs go busy (all-core turbo /
+   hypervisor scheduling on a shared 32-vCPU guest). The Spark
+   stack's own contribution is the ratio of the two controls —
+   {("n/a" if (probe_eff is None or hw_eff is None) else format(probe_eff / hw_eff, ".3f"))}
+   of the hardware ceiling — i.e. the scheduler/codegen/dispatch path
+   loses {("n/a" if (probe_eff is None or hw_eff is None) else format(100 * (1 - probe_eff / hw_eff), ".0f"))}%
+   beyond what the silicon itself loses.
 
-On a real cluster, 4N executors bring 4N memory buses and page
-caches; there is no algorithmic serialization in the job itself: the
-parse→enrich→route stage is embarrassingly parallel (zero shuffles)
-and the single rollup exchange carries only map-side-combined
-partials. All three levels are reported so any pair can be
-recomputed; the raw sample history (throughput, bandwidth, AND the
-compute probe) ships sha-tagged in `BENCH/*.jsonl`.
+A real N→4N *cluster* scale-out does not pay the hardware penalty:
+4N executors on 4× the hosts keep per-core clocks, memory buses, and
+page caches constant per executor. There is no algorithmic
+serialization in the job itself: the parse→enrich→route stage is
+embarrassingly parallel (zero shuffles) and the single rollup
+exchange carries only map-side-combined partials. All three levels
+are reported so any pair can be recomputed; the raw sample history
+(throughput, bandwidth, compute probe, AND the hardware probe) ships
+sha-tagged in `BENCH/*.jsonl`. For the round-3 end-to-end wall
+"regression" bisect (executed code byte-identical across rounds — the
+delta was the host), see `BENCH/REGRESSION_r3.md`.
 
 ## Per-query walls at local[32] (sf0.1 testdata)
 
@@ -429,6 +482,7 @@ min-of-4 (see bench.py).
                 "eff_8_32": round(eff_8_32, 3),
                 "eff_2_8": round(eff_2_8, 3),
                 "probe_eff_8_32": None if probe_eff is None else round(probe_eff, 3),
+                "hw_eff_8_32": None if hw_eff is None else round(hw_eff, 3),
                 "thr_mseq_s": {str(k): v for k, v in thr.items()},
                 "rows": rows,
                 "sha": sha,

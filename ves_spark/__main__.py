@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--units", type=int, default=64)
     p.add_argument("--units-per-increment", type=int, default=8)
     p.add_argument("--parse-impl", choices=["builtin", "arrow"], default="builtin")
+    p.add_argument(
+        "--no-recursive",
+        action="store_true",
+        help="scan only the top level of the input directory (the "
+        "reference's `recursive: false`; default walks nested dirs)",
+    )
     p.add_argument("--write-partitions", type=int, default=0)
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -73,6 +79,7 @@ def main(argv: list[str] | None = None) -> None:
         n_units=args.units,
         units_per_increment=args.units_per_increment,
         parse_impl=args.parse_impl,
+        recursive=not args.no_recursive,
         write_partitions=args.write_partitions,
         run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
         prefer_iceberg=args.prefer_iceberg,

@@ -167,14 +167,57 @@ class LineageStore:
                 live.append(f)
         return live
 
+    def _conform(self, tbl: pa.Table) -> pa.Table:
+        """Cast a lineage table to the current _SCHEMA, null-filling
+        columns that predate it (e.g. stores written before the
+        'fingerprint' column existed must keep compacting/reading
+        after an upgrade — schema evolution, not a crash)."""
+        cols = []
+        for f in self._SCHEMA:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(len(tbl), f.type))
+        return pa.Table.from_arrays(cols, schema=self._SCHEMA)
+
     def compact(self) -> None:
+        """Fold live files into one. Guarded by an exclusive lock so
+        two writers sharing a store can't both commit overlapping
+        compacts (which would double-count rows/bytes metrics read
+        straight off the lineage table); the loser skips — compaction
+        is opportunistic, the next append retries. A lock left by a
+        crashed process is broken after a staleness window (compaction
+        takes milliseconds; minutes-old means dead owner)."""
+        lock = os.path.join(self.path, ".compact.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                import time
+
+                if time.time() - os.path.getmtime(lock) < 600:
+                    return  # live competitor: skip, next append retries
+                os.remove(lock)  # stale (crashed owner): break it
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except OSError:
+                return
+        try:
+            self._compact_locked()
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _compact_locked(self) -> None:
         import json
 
         live = self._live_files()
         if len(live) <= 1:
             return
         tbl = pa.concat_tables(
-            [pq.read_table(os.path.join(self.path, f)) for f in live]
+            [self._conform(pq.read_table(os.path.join(self.path, f))) for f in live]
         )
         cid = uuid.uuid4().hex
         cname = f"compact-{cid}.parquet"
@@ -226,7 +269,25 @@ class LineageStore:
         files = self._files()
         if not files:
             return None
-        return spark.read.parquet(*files)
+        # mergeSchema: a store may mix files written before and after
+        # a schema addition (e.g. 'fingerprint'); without it Spark can
+        # resolve the union schema from an old file and break readers
+        # that select the new column. Null-fill any column still
+        # missing (an all-old-files store) so readers always see the
+        # full current schema.
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        spark_types = {
+            "string": "string",
+            "int32": "int",
+            "int64": "long",
+            "timestamp[us]": "timestamp",
+        }
+        for f in self._SCHEMA:
+            if f.name not in df.columns:
+                df = df.withColumn(
+                    f.name, F.lit(None).cast(spark_types[str(f.type)])
+                )
+        return df
 
     def committed_units(
         self, spark, batch_seq: int | None = None, stage: str = "route"
@@ -239,6 +300,33 @@ class LineageStore:
             df = df.filter(F.col("batch_seq") == batch_seq)
         rows = df.select("unit_id").distinct().collect()
         return {r["unit_id"] for r in rows}
+
+    # ------------------------------------------------------ stat cache
+    # Discovery optimization (NOT part of the commit protocol): maps
+    # input path -> (size, mtime_ns, fingerprint) so steady-state
+    # discovery re-hashes nothing. Authoritative identity stays the
+    # fingerprint in the ingest log; this file can be deleted at any
+    # time at the cost of one re-hash pass.
+
+    _STAT_CACHE = "statcache.json"
+
+    def read_stat_cache(self) -> dict[str, tuple[int, int, str]]:
+        import json
+
+        p = os.path.join(self.path, self._STAT_CACHE)
+        try:
+            with open(p) as fh:
+                return {k: tuple(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def write_stat_cache(self, entries: dict[str, tuple[int, int, str]]) -> None:
+        import json
+
+        tmp = os.path.join(self.path, f".tmp-stat-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({k: list(v) for k, v in entries.items()}, fh)
+        os.rename(tmp, os.path.join(self.path, self._STAT_CACHE))
 
     # ------------------------------------------------------ ingest log
     # Discovery state: which input files belong to which ingest batch.

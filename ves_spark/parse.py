@@ -62,15 +62,35 @@ def _finish(df: DataFrame) -> DataFrame:
     )
 
 
+#: shared contract-violation message — both impls raise with this text
+_CONTRACT_MSG = "parse contract: every sequence needs >= 3 tokens"
+
+
+def _contract_guard():
+    """Zero-on-success column that raises on a <3-token sequence —
+    the same loud failure ``parse_arrow`` gives, so the two impls
+    behave identically on malformed input (a NULL-propagating
+    ``element_at`` would otherwise let a bad row flow through with
+    NULL level/ts only on the builtin path). assert_true yields NULL
+    on success; coalesce folds it into each derived column so the
+    check survives Catalyst pruning of any column subset (the
+    ``lane_guard`` pattern, operators/dedup.py)."""
+    return F.coalesce(
+        F.assert_true(F.size("tokens") >= 3, F.lit(_CONTRACT_MSG)).cast("int"),
+        F.lit(0),
+    )
+
+
 def parse_builtin(df: DataFrame) -> DataFrame:
     """JVM-only parse: element_at + arithmetic, fully codegen'd."""
     t = lambda i: F.element_at(F.col("tokens"), i)  # 1-based  # noqa: E731
+    g = _contract_guard()
     raw = (
-        df.withColumn("level_id", t(1) % 8)
-        .withColumn("ts_minute", t(2))
+        df.withColumn("level_id", t(1) % 8 + g)
+        .withColumn("ts_minute", t(2) + g)
         .withColumn(
             "status_code",
-            ((t(3) % 5 + 1) * 100 + t(3) % 100).cast("int"),
+            ((t(3) % 5 + 1) * 100 + t(3) % 100 + g).cast("int"),
         )
     )
     return _finish(raw)
@@ -89,7 +109,7 @@ def _parse_kernel_fn(tokens: pd.Series) -> pd.DataFrame:
         np.concatenate(arrs) if len(arrs) else np.empty(0, dtype=np.int64)
     ).astype(np.int64, copy=False)
     if len(lens) and lens.min() < 3:
-        raise ValueError("parse contract: every sequence needs >= 3 tokens")
+        raise ValueError(_CONTRACT_MSG)
     starts = np.cumsum(lens) - lens
     head = flat[starts[:, None] + np.arange(3)]
     level_id = (head[:, 0] % 8).astype(np.int32)

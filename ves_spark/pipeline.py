@@ -70,6 +70,11 @@ class PipelineConfig:
     out_dir: str
     n_units: int = 8
     units_per_increment: int = 4
+    # Mirror of the reference's `recursive: Option<bool>` (default
+    # true) discovery knob (src/watcher/watcher.rs:110,
+    # src/watcher/discovery.rs:89-99): walk nested input directories,
+    # applying the same dotfile/extension filter at every level.
+    recursive: bool = True
     parse_impl: str = "builtin"  # 'builtin' | 'arrow'
     write_partitions: int = 0  # 0 = one output partition per unit
     run_id: str = "run-0"
@@ -97,11 +102,17 @@ class Pipeline:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -------------------------------------------------------- discovery
+    def _keep(self, name: str) -> bool:
+        return name.endswith(".parquet") and not name.startswith((".", "_"))
+
     def _list_input_files(self) -> list[str]:
         """Current input files (sorted). A single-file path is one
-        'inode'; a directory is scanned non-recursively — appended
-        part files are the growth vector (reference: new files under
-        log_dir, src/watcher/discovery.rs:90-116)."""
+        'inode'; a directory is scanned — recursively when
+        ``conf.recursive`` (the reference's default-true `recursive`
+        knob, src/watcher/discovery.rs:89-99), with the same
+        dotfile/extension filter at every level; appended part files
+        are the growth vector (reference: new files under log_dir,
+        src/watcher/discovery.rs:90-116)."""
         # realpath in BOTH branches: file identity is the path string
         # compared against the ingest log, so a relative vs absolute
         # --sequences path (or a changed cwd) must not re-ingest every
@@ -109,11 +120,17 @@ class Pipeline:
         p = os.path.realpath(self.conf.sequences_path)
         if os.path.isfile(p):
             return [p]
-        return sorted(
-            os.path.join(p, f)
-            for f in os.listdir(p)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
+        if not self.conf.recursive:
+            return sorted(
+                os.path.join(p, f) for f in os.listdir(p) if self._keep(f)
+            )
+        out = []
+        for root, dirs, files in os.walk(p):
+            # prune hidden/system dirs in place (Spark's _temporary,
+            # dotdirs) so the walk never descends into them
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+            out.extend(os.path.join(root, f) for f in files if self._keep(f))
+        return sorted(out)
 
     @staticmethod
     def _file_fingerprint(path: str, tail_bytes: int = 65536) -> str:
@@ -130,6 +147,43 @@ class Pipeline:
                 f.seek(size - tail_bytes)
             h.update(f.read(tail_bytes))
         return f"{size}:{h.hexdigest()}"
+
+    def _fingerprints(self, paths: list[str]) -> dict[str, str]:
+        """Fingerprints for the current input set, hashing only what
+        changed: a per-store stat cache (path -> size, mtime_ns,
+        fingerprint) lets a steady-state discover() over 10^5
+        unchanged files do 10^5 stats and ZERO content reads — the
+        round-3 driver-side serial-read bottleneck. Residual hashes
+        (new/touched files) run on a thread pool: tail reads are
+        I/O-bound, so threads overlap them. The cache is a pure
+        optimization — deleting it only costs re-hashing — so its
+        consistency needs are trivial (atomic rewrite, stat
+        re-verified every call). The (size, mtime_ns) skip means a
+        rewrite-in-place that preserves BOTH size and mtime goes
+        undetected until either changes — the standard rsync-style
+        tradeoff, acceptable because closed log files are immutable
+        in practice (see discover())."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cached = self.store.read_stat_cache()
+        stats = {p: os.stat(p) for p in paths}
+        out: dict[str, str] = {}
+        to_hash = []
+        for p in paths:
+            st = stats[p]
+            c = cached.get(p)
+            if c and c[0] == st.st_size and c[1] == st.st_mtime_ns:
+                out[p] = c[2]
+            else:
+                to_hash.append(p)
+        if to_hash:
+            with ThreadPoolExecutor(min(32, len(to_hash))) as ex:
+                for p, fp in zip(to_hash, ex.map(self._file_fingerprint, to_hash)):
+                    out[p] = fp
+        self.store.write_stat_cache(
+            {p: (stats[p].st_size, stats[p].st_mtime_ns, out[p]) for p in paths}
+        )
+        return out
 
     def _retire_batch(self, batch_seq: int, reason: str) -> None:
         """FileRemoved/FileRotated (reference src/watcher/events.rs:
@@ -161,7 +215,7 @@ class Pipeline:
         reprocessing a retired batch's survivors is an acceptable
         cost for exact retraction."""
         state, max_seq = self.store.ingest_state(self.spark)
-        current = {p: self._file_fingerprint(p) for p in self._list_input_files()}
+        current = self._fingerprints(self._list_input_files())
 
         for seq in sorted(state):
             files = state[seq]

@@ -1256,7 +1256,16 @@ def merge_upsert_events(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    root = f"{tempfile.gettempdir()}/ves_upsert_q_{abs(hash(sf_dir)) % 10**8}"
+    # md5, not hash(): hash() is salted per process, so the path would
+    # change every run (leaked tmp dirs) and two concurrent drivers
+    # could collide between rmtree and write. md5 is stable: reruns
+    # reuse one name per sf_dir.
+    import hashlib
+
+    root = (
+        f"{tempfile.gettempdir()}/ves_upsert_q_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     cat = ParquetCatalog(root)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -47,6 +47,13 @@ class TableCatalog(ABC):
         self, df: DataFrame, name: str, partition_by: list[str]
     ) -> None: ...
 
+    def list_tables(self, spark: SparkSession, prefix: str = "") -> list[str]:
+        """Names of existing tables starting with ``prefix``. Used by
+        the streaming deliverer to find sink tables a redelivered
+        micro-batch no longer routes to (their stale ``_batch_id``
+        partition must be retracted). Default: none known."""
+        return []
+
     @abstractmethod
     def delete_partitions(self, name: str, parts: list[dict]) -> None:
         """Drop whole partitions; each dict is an ordered prefix of the
@@ -68,6 +75,19 @@ class ParquetCatalog(TableCatalog):
         import os
 
         return os.path.exists(self._path(name))
+
+    def list_tables(self, spark, prefix=""):
+        import os
+
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if d.startswith(prefix)
+            and not d.startswith((".", "_"))
+            and os.path.isdir(os.path.join(self.root, d))
+        )
 
     def read(self, spark, name):
         return spark.read.parquet(self._path(name))
@@ -150,6 +170,12 @@ class IcebergCatalog(TableCatalog):
 
     def exists(self, spark, name):
         return spark.catalog.tableExists(self._tbl(name))
+
+    def list_tables(self, spark, prefix=""):
+        rows = spark.sql(f"SHOW TABLES IN {self.catalog}").collect()
+        return sorted(
+            r["tableName"] for r in rows if r["tableName"].startswith(prefix)
+        )
 
     def read(self, spark, name):
         return spark.read.format("iceberg").load(self._tbl(name))

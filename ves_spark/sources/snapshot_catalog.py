@@ -126,6 +126,15 @@ class LocalSnapshotCatalog(TableCatalog):
     def exists(self, spark, name):
         return self._load_meta(name) is not None
 
+    def list_tables(self, spark, prefix=""):
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if d.startswith(prefix) and self._load_meta(d) is not None
+        )
+
     def append(self, df, name, partition_by=()):
         self._commit_write(df, name, partition_by, "append")
 

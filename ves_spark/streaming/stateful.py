@@ -5,28 +5,37 @@ on the data, not a fixed grid).
 
 Semantics (mirrors the batch ``sessionization`` query's 30-min-gap
 definition, queries.py): per key, consecutive events with gaps <= GAP
-belong to one session; a session CLOSES when the event-time watermark
-passes ``last_event + gap`` (no earlier event can arrive that could
-extend it — correctness under late data comes from the watermark, the
-same contract as the windowed rollups). Closed sessions are emitted
-exactly once in append mode.
+belong to one session; a session CLOSES — and is emitted, exactly
+once, in append mode — only when the event-time watermark passes
+``last_event + gap`` (no event can still arrive that could extend or
+bridge it; correctness under late data comes from the watermark, the
+same contract as the windowed rollups). An in-batch gap therefore
+does NOT emit immediately: the split session is kept PENDING in state
+until the watermark confirms it, because a late event (above the
+watermark, below the gap boundary) arriving in a later micro-batch
+may legally bridge the two halves back into one session — append
+mode could never retract an eagerly-emitted split.
 
-State per key is three scalars (session start, last event ts, event
-count); each micro-batch merges its rows into the open session,
-emits any sessions the batch itself closed (an in-batch gap), and arms
-an event-time timeout at ``last + gap`` so the final session closes
-when the watermark passes it even if the key never appears again.
+State per key is the key's session set as three parallel arrays
+(start, last, n) sorted by start: the final entry is the open
+session, earlier entries are gap-split sessions awaiting watermark
+confirmation. Each micro-batch folds its events in with a single
+vectorized interval merge (sort + cummax + flatnonzero — no per-event
+Python), emits every session whose ``last + gap`` the watermark has
+passed, and arms an event-time timeout at the earliest unconfirmed
+deadline so sessions flush even if the key never appears again.
 
-Scale shape: state is hash-partitioned by key in the state store
-(one shuffle on user_id — unavoidable for per-key order), the kernel
-is Arrow-batched pandas (vectorized sort + diff per group), and state
-size is O(open sessions), not O(events).
+Scale shape: state is hash-partitioned by key in the state store (one
+shuffle on user_id — unavoidable for per-key order), the kernel is
+Arrow-batched numpy, and state size is O(unconfirmed sessions) per
+key — bounded by (batch span / gap), not O(events).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -41,65 +50,92 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# state: (session_start_ms, last_event_ms, n_events) — epoch millis so
-# the state row is three plain longs (no tz pitfalls in the state store)
+# state: the key's session set as parallel arrays sorted by start —
+# epoch millis so rows are plain longs (no tz pitfalls in the state
+# store). Last entry = open session; earlier = pending confirmation.
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ms", T.LongType()),
-        T.StructField("last_ms", T.LongType()),
-        T.StructField("n", T.LongType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
     ]
 )
+
+
+def merge_sessions(
+    starts: np.ndarray,
+    lasts: np.ndarray,
+    ns: np.ndarray,
+    ev_ms: np.ndarray,
+    gap_ms: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fold new event times into an existing session set (three
+    parallel arrays) under the gap rule; returns the merged session
+    set sorted by start. Fully vectorized: each event is a degenerate
+    [t, t] interval; sort all intervals by start, take the running
+    max of interval ends, and split where the next start exceeds the
+    running end by more than the gap — the classic interval-merge,
+    which also lets a late event bridge two previously-split sessions
+    (numpy sort/cummax/reduceat; no per-event Python)."""
+    s = np.concatenate([starts, ev_ms])
+    e = np.concatenate([lasts, ev_ms])
+    n = np.concatenate([ns, np.ones(len(ev_ms), dtype=np.int64)])
+    order = np.argsort(s, kind="stable")
+    s, e, n = s[order], e[order], n[order]
+    cummax_e = np.maximum.accumulate(e)
+    # break before i where s[i] - max(e[:i]) > gap
+    breaks = np.flatnonzero(s[1:] - cummax_e[:-1] > gap_ms) + 1
+    bounds = np.concatenate([[0], breaks])
+    # group-end cummax is exact despite being global: the carry-in
+    # from a previous group is < next group's start by > gap, hence
+    # strictly below every end in that group
+    out_s = s[bounds]
+    out_e = cummax_e[np.concatenate([breaks - 1, [len(s) - 1]])]
+    out_n = np.add.reduceat(n, bounds)
+    return out_s, out_e, out_n
 
 
 def _session_fn(gap_ms: int):
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         user_id = int(key[0])
-        closed: list[tuple[int, int, int]] = []  # (start_ms, end_ms, n)
 
-        if state.hasTimedOut:
-            # watermark passed last+gap with no new events: the open
-            # session can no longer be extended — emit and clear
-            start_ms, last_ms, n = state.get
-            closed.append((start_ms, last_ms, n))
-            state.remove()
+        if state.exists:
+            st, en, nn = (np.asarray(a, dtype=np.int64) for a in state.get)
         else:
-            ts = pd.concat([pdf["ts"] for pdf in pdfs], ignore_index=True)
-            ev_ms = (
-                ts.sort_values(ignore_index=True).astype("int64") // 1_000_000
-            ).to_numpy()
-            if len(ev_ms):
-                start_ms = last_ms = n = 0
-                if state.exists:
-                    start_ms, last_ms, n = state.get
-                # sequential state transition per event of this key's
-                # batch slice — inherently ordered, bounded per batch
-                for t_ms in ev_ms:
-                    t_ms = int(t_ms)
-                    if n and t_ms - last_ms > gap_ms:
-                        closed.append((start_ms, last_ms, n))
-                        n = 0
-                    if not n:
-                        start_ms, last_ms, n = t_ms, t_ms, 1
-                    else:
-                        # max: an out-of-order event inside the open
-                        # session must not move its end backwards
-                        last_ms, n = max(last_ms, t_ms), n + 1
-                state.update((start_ms, last_ms, n))
-                # close via timeout once the watermark passes last+gap
-                state.setTimeoutTimestamp(last_ms + gap_ms)
+            st = en = nn = np.empty(0, dtype=np.int64)
 
-        if closed:
+        if not state.hasTimedOut:
+            ts = pd.concat([pdf["ts"] for pdf in pdfs], ignore_index=True)
+            ev_ms = (ts.astype("int64") // 1_000_000).to_numpy()
+            if len(ev_ms):
+                st, en, nn = merge_sessions(st, en, nn, ev_ms, gap_ms)
+
+        # emit every session the watermark has confirmed closed; the
+        # open (final) session included — if wm passed ITS deadline no
+        # event can extend it either (events below wm are dropped
+        # upstream by the watermark operator).
+        wm = state.getCurrentWatermarkMs()
+        confirmed = en + gap_ms <= wm
+        if confirmed.any():
+            cs, ce, cn = st[confirmed], en[confirmed], nn[confirmed]
+            keep = ~confirmed
+            st, en, nn = st[keep], en[keep], nn[keep]
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [
-                        pd.Timestamp(s, unit="ms") for s, _, _ in closed
-                    ],
-                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
-                    "n_events": [n for _, _, n in closed],
+                    "user_id": np.full(len(cs), user_id, dtype=np.int64),
+                    "session_start": pd.to_datetime(cs, unit="ms"),
+                    "session_end": pd.to_datetime(ce, unit="ms"),
+                    "n_events": cn,
                 }
             )
+
+        if len(st):
+            state.update((st.tolist(), en.tolist(), nn.tolist()))
+            # earliest unconfirmed deadline (lasts are increasing, so
+            # it's the first entry); > wm because confirmed ones left
+            state.setTimeoutTimestamp(int(en[0]) + gap_ms)
+        elif state.exists:
+            state.remove()
 
     return fn
 

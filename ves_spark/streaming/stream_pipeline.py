@@ -109,6 +109,8 @@ def deliver_to_sinks(catalog, table_prefix: str = "sink_"):
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import SparkSession
+
         stamped = batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
         stamped.persist()
         try:
@@ -119,6 +121,20 @@ def deliver_to_sinks(catalog, table_prefix: str = "sink_"):
                     f"{table_prefix}{s}",
                     ["_batch_id"],
                 )
+            # Redelivery retraction for sinks NOT in this attempt: if a
+            # crashed earlier attempt of THIS batch_id wrote sink X's
+            # partition and the retry no longer routes to X (route
+            # rules changed across restart), that stale partition would
+            # be double-counted forever — overwrite can't touch a sink
+            # it never writes. Mirror the batch pipeline's pre-delete:
+            # drop this batch_id's partition in every known sink table
+            # absent from the current batch. Idempotent and metadata-
+            # cheap (the sink set is bounded by the route rules).
+            spark = SparkSession.getActiveSession()
+            present = {f"{table_prefix}{s}" for s in sinks}
+            for tbl in catalog.list_tables(spark, table_prefix):
+                if tbl not in present:
+                    catalog.delete_partitions(tbl, [{"_batch_id": int(batch_id)}])
         finally:
             stamped.unpersist()
 
