@@ -367,3 +367,52 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     # the approximate scores it does return are the true cosines
     merged = approx.merge(exact, on=["q_id", "c_id"], suffixes=("_a", "_e"))
     assert (abs(merged["cos_a"] - merged["cos_e"]) < 1e-9).all()
+
+
+def test_repetition_features_planted(spark):
+    from ves_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),    # 7 trigrams, 3 distinct
+            (2, "one two three four"),   # 2 trigrams, both unique
+            (3, "xy zz"),                # < 3 words -> 0 ngrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct"], r["rep_ratio"])
+        for r in repetition_features(df, "text", n=3).collect()
+    }
+    assert got[1] == (7, 3, round(1 - 3 / 7, 4))
+    assert got[2] == (2, 2, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_contaminated_docs_planted(spark):
+    from ves_spark.operators.text import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the 5-gram "quick brown fox jumps over"
+            (1, "he said the quick brown fox jumps over everything"),
+            # shares words but no 5-gram
+            (2, "quick brown dog sleeps all day long here now"),
+            # exact copy: every benchmark 5-gram hits
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["n_bench_docs"])
+        for r in contaminated_docs(docs, bench, n=5).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == (2, 1)  # "the quick..over" and "quick..over everything"? no:
+    # doc 1 grams overlapping bench: "the quick brown fox jumps",
+    # "quick brown fox jumps over" -> 2 hits
+    assert got[3] == (5, 1)  # a 9-word doc has 5 distinct 5-grams, all hit

@@ -81,6 +81,91 @@ def langid_scores(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (with duplicates, in
+    order); empty for docs with < n words. Pure JVM higher-order
+    functions — split + sequence + transform(slice) — so it stays
+    inside whole-stage codegen. The short-doc case needs an explicit
+    empty branch: Spark's sequence(1, stop) counts DOWN when
+    stop < 1, which would feed slice() an illegal start of 0."""
+    words = F.split(F.trim(col), r"\s+")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Repeated-n-gram fraction per document (the Gopher-style
+    repetition filter: natural text repeats few n-grams; boilerplate,
+    keyword stuffing, and decode loops repeat many).
+
+    rep_ratio = 1 - distinct_ngrams / total_ngrams  (0 for docs with
+    < n words). Map-only — no shuffle, no UDF: the whole computation
+    is split/transform/array_distinct inside one codegen stage, so at
+    100 TB it rides the scan."""
+    grams = word_ngrams(F.col(text_col), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        df.withColumn("n_ngrams", total)
+        .withColumn("n_distinct", distinct)
+        .withColumn(
+            "rep_ratio",
+            F.round(
+                F.when(total > 0, 1 - distinct / total).otherwise(F.lit(0.0)), 4
+            ),
+        )
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing any
+    word n-gram with a benchmark/eval set (the standard train-test
+    leakage check for LLM corpora; n=5..13 words in practice).
+
+    Returns one row per contaminated doc: (id, n_hit_ngrams = how
+    many DISTINCT of its n-grams appear anywhere in the benchmark,
+    n_bench_docs = how many distinct benchmark docs it collides
+    with).
+
+    Scale shape: the benchmark side is tiny (eval sets are MBs) —
+    its distinct n-grams are BROADCAST, so the corpus side is a
+    map-side hash probe riding the scan: no shuffle of the 100 TB
+    side, and the join key is the 8-byte xxhash64 of the n-gram, not
+    the string. The final per-doc count is one groupBy over hits
+    only (contaminated docs are rare)."""
+    d_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
+    ).select(id_col, F.xxhash64("_g").alias("_gh"))
+    b_grams = (
+        bench.select(
+            F.col(bench_id_col),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+                "_g"
+            ),
+        )
+        .select(bench_id_col, F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    hits = d_grams.join(F.broadcast(b_grams), "_gh")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("_gh").alias("n_hit_ngrams"),
+        F.countDistinct(bench_id_col).alias("n_bench_docs"),
+    )
+
+
 FP_MOD = 1_000_000_007
 FP_BASE = 31
 

@@ -1012,6 +1012,76 @@ def token_count_docs(spark, sf_dir):
 
 
 @register(
+    "repetition_ratio_docs",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words
+    ), g AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM pos
+    ), c AS (
+      SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT s) AS n_distinct
+      FROM g GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_ngrams, 0) AS n_ngrams,
+           coalesce(c.n_distinct, 0) AS n_distinct,
+           round(CASE WHEN coalesce(c.n_ngrams, 0) > 0
+                 THEN 1 - c.n_distinct * 1.0 / c.n_ngrams ELSE 0 END, 4) AS rep_ratio
+    FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+    """,
+)
+def repetition_ratio_docs(spark, sf_dir):
+    """Gopher-style repeated-n-gram fraction per doc (training-data
+    quality axis). Map-only: split/transform/array_distinct inside one
+    codegen stage — zero shuffle, rides the scan at 100 TB."""
+    from ves_spark.operators.text import repetition_features
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_features(d, "text", n=3).select(
+        "doc_id", "n_ngrams", "n_distinct", "rep_ratio"
+    )
+
+
+@register(
+    "decontaminate_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM w
+    ), g AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s FROM pos
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_id, s FROM g WHERE doc_id % 29 = 0
+    ), corpus AS (
+      SELECT doc_id, s FROM g WHERE doc_id % 29 <> 0
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.s) AS n_hit_ngrams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (train-test leakage): corpus docs
+    sharing any 5-word-gram with a synthetic benchmark slice
+    (doc_id % 29 = 0). The benchmark n-gram set is BROADCAST (eval
+    sets are MBs) — the 100 TB corpus side is a map-side probe on the
+    8-byte xxhash64 of the gram, no big-side shuffle."""
+    from ves_spark.operators.text import contaminated_docs
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    bench = d.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contaminated_docs(corpus, bench, "text", "doc_id", "bench_id", n=5)
+
+
+@register(
     "quality_scores_docs",
     """
     WITH f AS (
