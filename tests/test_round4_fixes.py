@@ -364,3 +364,51 @@ def test_foreach_batch_retracts_stale_sink_partition(spark, tmp_path):
     assert os.path.isdir(os.path.join(a_dir, "_batch_id=8"))
     b = spark.read.parquet(str(tmp_path / "sinks" / "sink_b"))
     assert b.count() == 3  # batch 7 rewrite (2) + batch 9 (1)
+
+
+def test_stream_sessionize_microsecond_gap_boundary(spark, tmp_path):
+    """Events 1800.0005 s apart must SPLIT (strict > gap) even though
+    millisecond truncation would make the delta exactly 1800000 ms and
+    merge them — the kernel must work at the events' native
+    microsecond precision (testdata timestamps carry sub-ms parts)."""
+    from ves_spark.streaming.stateful import stream_sessionize
+
+    base = pd.Timestamp("2025-06-01 00:00:00")
+    seq_dir = str(tmp_path / "ev")
+    os.makedirs(seq_dir)
+    rows = [
+        (1, base),
+        (1, base + pd.Timedelta(seconds=1800, microseconds=500)),  # split
+        (2, base),
+        (2, base + pd.Timedelta(seconds=1799, microseconds=999_900)),  # merge
+        (99, base + pd.Timedelta(days=30)),  # watermark sentinel
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(seq_dir, "f1.parquet"),
+    )
+    q = (
+        stream_sessionize(
+            spark.readStream.schema("user_id long, ts timestamp").parquet(seq_dir),
+            gap_minutes=30,
+            watermark="30 minutes",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_us_gap")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("t_us_gap").toPandas()
+    per_user = got.groupby("user_id").size().to_dict()
+    assert per_user.get(1) == 2, f"u1 must split: {got}"
+    assert per_user.get(2) == 1, f"u2 must merge: {got}"
+    n2 = int(got[got["user_id"] == 2]["n_events"].iloc[0])
+    assert n2 == 2

@@ -1297,6 +1297,101 @@ def sessionization(spark, sf_dir):
 
 
 @register(
+    "sessionization_stream",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), brk AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_new
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM brk
+    )
+    SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def sessionization_stream(spark, sf_dir):
+    """STREAMING gap sessionization proven equal to the batch SQL: the
+    custom stateful operator (applyInPandasWithState,
+    streaming/stateful.py) run over the events table as a file
+    stream, with a far-future sentinel event appended so the
+    event-time watermark passes every real session's last+gap — every
+    session therefore closes and is emitted exactly once, and the
+    per-user (n_sessions, n_events) rollup must equal the batch
+    lag/cumsum sessionization oracle. Cross-paradigm equivalence in
+    the driver harness itself: same gap (30 min), same strict->
+    boundary, append-mode exactly-once."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ves_spark.streaming.stateful import stream_sessionize
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    root = (
+        f"{tempfile.gettempdir()}/ves_sess_stream_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    ev.coalesce(1).write.parquet(src)
+    # sentinel AFTER the data (later mtime): one far-future event for
+    # a user id outside the real domain advances the watermark past
+    # every last+gap once processed; even if a trigger takes both
+    # files, the post-batch watermark + timeout trigger still flushes
+    # every session — emission is deterministic either way
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [max_ts + __import__("datetime").timedelta(days=365)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        f"{src}/zz-sentinel.parquet",
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"sess_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    q = (
+        stream_sessionize(stream, gap_minutes=30, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel user
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+@register(
     "merge_upsert_events",
     """
     SELECT user_id, event_id,

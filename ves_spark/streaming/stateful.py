@@ -51,8 +51,11 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 # state: the key's session set as parallel arrays sorted by start —
-# epoch millis so rows are plain longs (no tz pitfalls in the state
-# store). Last entry = open session; earlier = pending confirmation.
+# epoch MICROseconds (the events' native precision: a millisecond
+# truncation would shift a gap boundary for deltas within 1 ms of the
+# gap and diverge from the batch oracle) so rows are plain longs (no
+# tz pitfalls in the state store). Last entry = open session; earlier
+# = pending confirmation.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("starts", T.ArrayType(T.LongType())),
@@ -69,6 +72,8 @@ def merge_sessions(
     ev_ms: np.ndarray,
     gap_ms: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    # unit-agnostic: callers pass epoch times and the gap in ANY one
+    # consistent integer unit (the streaming kernel uses microseconds)
     """Fold new event times into an existing session set (three
     parallel arrays) under the gap rule; returns the merged session
     set sorted by start. Fully vectorized: each event is a degenerate
@@ -95,7 +100,7 @@ def merge_sessions(
     return out_s, out_e, out_n
 
 
-def _session_fn(gap_ms: int):
+def _session_fn(gap_us: int):
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         user_id = int(key[0])
 
@@ -106,16 +111,17 @@ def _session_fn(gap_ms: int):
 
         if not state.hasTimedOut:
             ts = pd.concat([pdf["ts"] for pdf in pdfs], ignore_index=True)
-            ev_ms = (ts.astype("int64") // 1_000_000).to_numpy()
-            if len(ev_ms):
-                st, en, nn = merge_sessions(st, en, nn, ev_ms, gap_ms)
+            ev_us = (ts.astype("int64") // 1_000).to_numpy()  # ns -> us
+            if len(ev_us):
+                st, en, nn = merge_sessions(st, en, nn, ev_us, gap_us)
 
         # emit every session the watermark has confirmed closed; the
         # open (final) session included — if wm passed ITS deadline no
         # event can extend it either (events below wm are dropped
-        # upstream by the watermark operator).
-        wm = state.getCurrentWatermarkMs()
-        confirmed = en + gap_ms <= wm
+        # upstream by the watermark operator). The watermark API is
+        # millisecond-grained: compare in us via exact *1000.
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        confirmed = en + gap_us <= wm_us
         if confirmed.any():
             cs, ce, cn = st[confirmed], en[confirmed], nn[confirmed]
             keep = ~confirmed
@@ -123,8 +129,8 @@ def _session_fn(gap_ms: int):
             yield pd.DataFrame(
                 {
                     "user_id": np.full(len(cs), user_id, dtype=np.int64),
-                    "session_start": pd.to_datetime(cs, unit="ms"),
-                    "session_end": pd.to_datetime(ce, unit="ms"),
+                    "session_start": pd.to_datetime(cs, unit="us"),
+                    "session_end": pd.to_datetime(ce, unit="us"),
                     "n_events": cn,
                 }
             )
@@ -132,8 +138,12 @@ def _session_fn(gap_ms: int):
         if len(st):
             state.update((st.tolist(), en.tolist(), nn.tolist()))
             # earliest unconfirmed deadline (lasts are increasing, so
-            # it's the first entry); > wm because confirmed ones left
-            state.setTimeoutTimestamp(int(en[0]) + gap_ms)
+            # it's the first entry). setTimeoutTimestamp is ms — round
+            # UP so the timeout never fires before the us deadline
+            # (firing implies wm_ms*1000 >= ceil(deadline/1000)*1000
+            # >= deadline, so the session is then confirmed and the
+            # re-arm-below-watermark case cannot arise)
+            state.setTimeoutTimestamp(-((int(en[0]) + gap_us) // -1_000))
         elif state.exists:
             state.remove()
 
@@ -153,7 +163,7 @@ def stream_sessionize(
 
     keyed = events.select(key_col, ts_col).withWatermark(ts_col, watermark)
     return keyed.groupBy(key_col).applyInPandasWithState(
-        _session_fn(gap_minutes * 60_000),
+        _session_fn(gap_minutes * 60_000_000),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
