@@ -430,11 +430,9 @@ controls that isolate the cause:
    This is the best any 8→32 thread scale-up can do on this box:
    per-core clock drops as more vCPUs go busy (all-core turbo /
    hypervisor scheduling on a shared 32-vCPU guest). The Spark
-   stack's own contribution is the ratio of the two controls —
+   stack's own contribution is the ratio of the two controls:
    {("n/a" if (probe_eff is None or hw_eff is None) else format(probe_eff / hw_eff, ".3f"))}
-   of the hardware ceiling — i.e. the scheduler/codegen/dispatch path
-   loses {("n/a" if (probe_eff is None or hw_eff is None) else format(100 * (1 - probe_eff / hw_eff), ".0f"))}%
-   beyond what the silicon itself loses.
+   of the hardware ceiling — {("n/a" if (probe_eff is None or hw_eff is None) else ("the scheduler/codegen/dispatch path scales AT or ABOVE the bare-silicon ceiling; the entire residual shortfall is the machine, none is the runtime" if probe_eff >= hw_eff else f"the scheduler/codegen/dispatch path loses {100 * (1 - probe_eff / hw_eff):.0f}% beyond what the silicon itself loses"))}.
 
 A real N→4N *cluster* scale-out does not pay the hardware penalty:
 4N executors on 4× the hosts keep per-core clocks, memory buses, and

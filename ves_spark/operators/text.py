@@ -84,18 +84,35 @@ def langid_scores(df: DataFrame, text_col: str) -> DataFrame:
 def word_ngrams(col: Column, n: int) -> Column:
     """Array of space-joined word n-grams (with duplicates, in
     order); empty for docs with < n words. Pure JVM higher-order
-    functions — split + sequence + transform(slice) — so it stays
-    inside whole-stage codegen. The short-doc case needs an explicit
-    empty branch: Spark's sequence(1, stop) counts DOWN when
-    stop < 1, which would feed slice() an illegal start of 0."""
-    words = F.split(F.trim(col), r"\s+")
+    functions — sequence + transform(slice) — so it stays inside
+    whole-stage codegen. The short-doc case needs an explicit empty
+    branch: Spark's sequence(1, stop) counts DOWN when stop < 1,
+    which would feed slice() an illegal start of 0.
+
+    PERF: ``col`` should be an already-materialized ARRAY column
+    (an attribute), not a split() expression — an expression passed
+    here is re-evaluated once per transform element (the lambda body
+    closes over it), turning an O(words) op into O(words^2) per doc
+    (measured 12x on the repetition query). DataFrame-level callers
+    below materialize the words array with withColumn first."""
     return F.when(
-        F.size(words) >= n,
+        F.size(col) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+            F.sequence(F.lit(1), F.size(col) - (n - 1)),
+            lambda i: F.array_join(F.slice(col, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _with_ngrams(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """Materialize words, then n-grams, as real columns (two project
+    steps). Catalyst's CollapseProject keeps multiply-referenced
+    non-cheap expressions un-inlined, so the split and the gram
+    array are each computed ONCE per row no matter how many
+    downstream expressions consume them."""
+    return df.withColumn("_w", F.split(F.trim(F.col(text_col)), r"\s+")).withColumn(
+        out, word_ngrams(F.col("_w"), n)
+    )
 
 
 def repetition_features(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
@@ -107,19 +124,16 @@ def repetition_features(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     < n words). Map-only — no shuffle, no UDF: the whole computation
     is split/transform/array_distinct inside one codegen stage, so at
     100 TB it rides the scan."""
-    grams = word_ngrams(F.col(text_col), n)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return (
-        df.withColumn("n_ngrams", total)
-        .withColumn("n_distinct", distinct)
-        .withColumn(
-            "rep_ratio",
-            F.round(
-                F.when(total > 0, 1 - distinct / total).otherwise(F.lit(0.0)), 4
-            ),
-        )
+    g = (
+        _with_ngrams(df, text_col, n, "_grams")
+        .withColumn("n_ngrams", F.size("_grams"))
+        .withColumn("n_distinct", F.size(F.array_distinct("_grams")))
     )
+    total, distinct = F.col("n_ngrams"), F.col("n_distinct")
+    return g.withColumn(
+        "rep_ratio",
+        F.round(F.when(total > 0, 1 - distinct / total).otherwise(F.lit(0.0)), 4),
+    ).drop("_w", "_grams")
 
 
 def contaminated_docs(
@@ -145,16 +159,15 @@ def contaminated_docs(
     side, and the join key is the 8-byte xxhash64 of the n-gram, not
     the string. The final per-doc count is one groupBy over hits
     only (contaminated docs are rare)."""
-    d_grams = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
-    ).select(id_col, F.xxhash64("_g").alias("_gh"))
+    d_grams = (
+        _with_ngrams(docs, text_col, n, "_grams")
+        .select(F.col(id_col), F.explode(F.array_distinct("_grams")).alias("_g"))
+        .select(id_col, F.xxhash64("_g").alias("_gh"))
+    )
     b_grams = (
-        bench.select(
-            F.col(bench_id_col),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-                "_g"
-            ),
+        _with_ngrams(bench, text_col, n, "_grams")
+        .select(
+            F.col(bench_id_col), F.explode(F.array_distinct("_grams")).alias("_g")
         )
         .select(bench_id_col, F.xxhash64("_g").alias("_gh"))
         .distinct()
