@@ -126,3 +126,65 @@ def test_ann_ivf_plan_broadcasts_centroids(spark):
     # exactly the two centroid cross-joins, no third
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "cent_id" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The 100 TB corpus side must NEVER shuffle: the benchmark n-gram
+    set is broadcast and the only exchange below the per-doc count is
+    the (tiny) benchmark distinct."""
+    from ves_spark.operators.text import contaminated_docs
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    bench = spark.range(0, 3).select(
+        F.col("id").alias("bench_id"),
+        F.lit("alpha beta gamma delta epsilon").alias("text"),
+    )
+    plan = _plan(contaminated_docs(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_features_is_map_only(spark):
+    """Zero exchanges: the repetition filter rides the scan."""
+    from ves_spark.operators.text import repetition_features
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e f g "), F.col("id")).alias("text"),
+    )
+    plan = _plan(
+        repetition_features(docs, "text", n=3).select(
+            "doc_id", "n_ngrams", "n_distinct", "rep_ratio"
+        )
+    )
+    assert "Exchange" not in plan
+
+
+def test_ngram_builder_not_inlined_per_element(spark):
+    """The O(words^2) regression guard: the words split and the gram
+    transform must appear as SEPARATE project steps (multiply-
+    referenced non-cheap expressions stay un-inlined), so the split
+    is not re-evaluated per sequence element inside the lambda. The
+    optimized plan must not contain a transform whose lambda body
+    embeds the split itself."""
+    from ves_spark.operators.text import repetition_features
+
+    docs = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w x y z w x y z").alias("text"),
+    )
+    opt = (
+        repetition_features(docs, "text", n=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # transform(...)'s lambda must reference the materialized array
+    # attribute, not re-split the text: no split() call nested inside
+    # a slice() (the lambda body pattern of the regression)
+    assert "slice(split(" not in opt.replace(" ", "")

@@ -77,3 +77,43 @@ def test_route_default_only_when_no_match(spark):
     routed = route(parse_builtin(_df(spark, arrays)), RULES)
     sinks = sorted(r["sink"] for r in routed.select("sink").collect())
     assert sinks == ["a"]  # matched -> no sink_default row
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ev=st.lists(st.integers(min_value=0, max_value=500_000), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=6),
+    gap=st.sampled_from([1, 10_000, 60_000]),
+)
+def test_merge_sessions_batch_split_invariant(ev, cuts, gap):
+    """THE streaming==batch guarantee: folding events chunk-by-chunk
+    through merge_sessions (how micro-batches hit the state store,
+    any chunking, any order) must equal one-shot merging of all
+    events. This is what makes the stateful operator's output equal
+    the batch sessionization regardless of how the stream slices the
+    input — late/bridging arrivals included."""
+    import numpy as np
+
+    from ves_spark.streaming.stateful import merge_sessions
+
+    empty = np.empty(0, np.int64)
+    one_shot = merge_sessions(
+        empty, empty, empty, np.asarray(ev, np.int64), gap
+    )
+
+    bounds = sorted({c for c in cuts if c < len(ev)})
+    chunks = []
+    prev = 0
+    for b in bounds + [len(ev)]:
+        if b > prev:
+            chunks.append(ev[prev:b])
+            prev = b
+    st_, en_, nn_ = empty, empty, empty
+    for ch in chunks:
+        st_, en_, nn_ = merge_sessions(
+            st_, en_, nn_, np.asarray(ch, np.int64), gap
+        )
+    assert st_.tolist() == one_shot[0].tolist()
+    assert en_.tolist() == one_shot[1].tolist()
+    assert nn_.tolist() == one_shot[2].tolist()
+    assert int(nn_.sum()) == len(ev)
