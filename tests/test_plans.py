@@ -188,3 +188,33 @@ def test_ngram_builder_not_inlined_per_element(spark):
     # attribute, not re-split the text: no split() call nested inside
     # a slice() (the lambda body pattern of the regression)
     assert "slice(split(" not in opt.replace(" ", "")
+
+
+def test_bucketed_join_no_exchange(spark, fixture_dir, tmp_path):
+    """north_star 'bucketed writes on doc_id': two tables bucketed on
+    the same key with the same bucket count join with ZERO exchanges
+    — the shuffle was paid once at write time and every subsequent
+    co-located join reuses it."""
+    from ves_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    seq = spark.read.parquet(os.path.join(fixture_dir, "sequences.parquet"))
+    left = seq.select("doc_id", "n_tok")
+    right = seq.select("doc_id", "source")
+    write_bucketed(left, "bk_left", str(tmp_path / "bk_left"), n_buckets=8)
+    write_bucketed(right, "bk_right", str(tmp_path / "bk_right"), n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "bk_left").join(
+            read_bucketed(spark, "bk_right"), "doc_id"
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert j.count() == seq.count()
+        # bucket-key aggregation also skips the exchange
+        agg = read_bucketed(spark, "bk_left").groupBy("doc_id").count()
+        assert "Exchange" not in _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
