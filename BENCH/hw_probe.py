@@ -27,7 +27,11 @@ import multiprocessing as mp
 import os
 import time
 
-LANES = 1024  # 8 KiB of uint64 — deep in L1
+import numpy as np  # imported BEFORE the fork: workers inherit the
+                    # loaded module, so per-process import time never
+                    # lands inside the measured window
+
+LANES = 1024  # 8 KiB of uint64 — deep in L1 (1024 lanes x 8 B)
 ITERS = int(os.environ.get("VES_HW_ITERS", "400000"))
 LEVELS = [8, 32]
 REPS = int(os.environ.get("VES_HW_REPS", "3"))
@@ -36,8 +40,6 @@ REPS = int(os.environ.get("VES_HW_REPS", "3"))
 def _kernel(_: int) -> float:
     """Fixed work: ITERS rounds of a splitmix-ish mix over LANES
     uint64 lanes. Returns the wall seconds this worker spent."""
-    import numpy as np
-
     a = np.arange(LANES, dtype=np.uint64)
     c1 = np.uint64(0x9E3779B97F4A7C15)
     c2 = np.uint64(0xBF58476D1CE4E5B9)

@@ -23,13 +23,18 @@ from ves_spark.synth import write_fixture
 def test_parse_contract_short_sequence_raises(spark, impl):
     """Both parse impls must fail LOUDLY (not NULL-propagate) on a
     sequence with < 3 tokens — same contract, same message text."""
-    bad = spark.createDataFrame(
-        [("d0", [1, 2, 3], 3, "a"), ("d1", [7], 1, "a")],
-        "doc_id string, tokens array<int>, n_tok int, source string",
-    )
-    with pytest.raises(Exception) as ei:
-        impl(bad).select("doc_id", "level_id", "ts_minute", "status_code").collect()
-    assert _CONTRACT_MSG in str(ei.value)
+    for bad_tokens in ([7], []):  # too short AND fully empty
+        bad = spark.createDataFrame(
+            [("d0", [1, 2, 3], 3, "a"), ("d1", bad_tokens, len(bad_tokens), "a")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        with pytest.raises(Exception) as ei:
+            impl(bad).select(
+                "doc_id", "level_id", "ts_minute", "status_code"
+            ).collect()
+        # the CONTRACT message, not ANSI's INVALID_ARRAY_INDEX: the
+        # guard must evaluate before any element_at can throw
+        assert _CONTRACT_MSG in str(ei.value)
 
 
 @pytest.mark.parametrize("impl", [parse_builtin, parse_arrow])
@@ -412,3 +417,35 @@ def test_stream_sessionize_microsecond_gap_boundary(spark, tmp_path):
     assert per_user.get(2) == 1, f"u2 must merge: {got}"
     n2 = int(got[got["user_id"] == 2]["n_events"].iloc[0])
     assert n2 == 2
+
+
+def test_pre_fingerprint_store_adopts_not_retires(spark, tmp_path):
+    """Upgrade path: a lineage store written before the fingerprint
+    column has fp=None for every ingested file. discover() must ADOPT
+    the freshly computed fingerprint (no-op), not treat the mismatch
+    as a rotation — that would retire and reprocess every committed
+    batch (and transiently delete committed output) on upgrade."""
+    pipe, fix = _pipe(spark, tmp_path, None)
+    pipe.run()
+
+    # strip the fingerprint column from every lineage file, emulating
+    # a store written by the pre-fingerprint code
+    lin = pipe.store.path
+    for f in os.listdir(lin):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(lin, f))
+            t = t.drop_columns(["fingerprint"])
+            pq.write_table(t, os.path.join(lin, f))
+    os.remove(os.path.join(lin, "statcache.json"))  # force re-hash too
+
+    pipe2, _ = _pipe(spark, tmp_path, None)
+    assert pipe2.discover() == []  # adopted: nothing pending
+    df = pipe2.store.read(spark)
+    assert df.filter(df.stage == "retire").count() == 0
+    # and a REAL rotation afterwards is still detected
+    seq_dir = os.path.join(fix, "sequences.parquet")
+    victim = sorted(f for f in os.listdir(seq_dir) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(seq_dir, victim))
+    pq.write_table(t.slice(0, max(1, len(t) // 2)), os.path.join(seq_dir, victim))
+    pipe3, _ = _pipe(spark, tmp_path, None)
+    assert len(pipe3.discover()) == 1  # retire + re-ingest as new batch

@@ -197,7 +197,19 @@ class LineageStore:
 
                 if time.time() - os.path.getmtime(lock) < 600:
                     return  # live competitor: skip, next append retries
-                os.remove(lock)  # stale (crashed owner): break it
+                # stale (crashed owner): break it via RENAME — atomic
+                # single-winner takeover. remove-then-create would
+                # race: two breakers could both pass the staleness
+                # check and the second remove() would delete the
+                # first's FRESH lock, running two compactions
+                # concurrently. rename succeeds for exactly one
+                # process; losers hit FileNotFoundError and skip.
+                broken = f"{lock}.broken-{uuid.uuid4().hex}"
+                os.rename(lock, broken)
+                try:
+                    os.remove(broken)
+                except OSError:
+                    pass
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except OSError:
                 return
@@ -406,7 +418,16 @@ class LineageStore:
             seq = int(r["batch_seq"])
             max_seq = max(max_seq, seq)
             if seq not in retired:
-                out.setdefault(seq, {})[r["source"]] = r["fingerprint"]
+                cur = out.setdefault(seq, {})
+                # a (seq, path) may carry two ingest rows after a
+                # fingerprint ADOPTION (pre-upgrade None + adopted
+                # value): the non-null one is authoritative, and row
+                # order from distinct() is arbitrary — never let a
+                # None overwrite a recorded fingerprint
+                if r["fingerprint"] is not None or r["source"] not in cur:
+                    cur.setdefault(r["source"], None)
+                    if r["fingerprint"] is not None:
+                        cur[r["source"]] = r["fingerprint"]
         return out, max(max_seq, max(retired, default=-1))
 
     def ingest_batches(self, spark) -> dict[int, list[str]]:

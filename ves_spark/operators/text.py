@@ -156,25 +156,32 @@ def contaminated_docs(
     Scale shape: the benchmark side is tiny (eval sets are MBs) —
     its distinct n-grams are BROADCAST, so the corpus side is a
     map-side hash probe riding the scan: no shuffle of the 100 TB
-    side, and the join key is the 8-byte xxhash64 of the n-gram, not
-    the string. The final per-doc count is one groupBy over hits
-    only (contaminated docs are rare)."""
+    side. The JOIN KEY is the 8-byte xxhash64 of the n-gram (small
+    broadcast hashmap, cheap probe), but every hit is re-verified
+    against the actual gram string before counting: at ~10^12 corpus
+    grams x ~10^7 bench grams, expected 64-bit cross-collisions are
+    in the hundreds — without the verify they would brand clean docs
+    as contaminated (and diverge from a string-equality oracle). The
+    verify is free at scale: it only runs on hits, and hits are
+    rare."""
     d_grams = (
         _with_ngrams(docs, text_col, n, "_grams")
         .select(F.col(id_col), F.explode(F.array_distinct("_grams")).alias("_g"))
-        .select(id_col, F.xxhash64("_g").alias("_gh"))
+        .select(id_col, "_g", F.xxhash64("_g").alias("_gh"))
     )
     b_grams = (
         _with_ngrams(bench, text_col, n, "_grams")
         .select(
-            F.col(bench_id_col), F.explode(F.array_distinct("_grams")).alias("_g")
+            F.col(bench_id_col), F.explode(F.array_distinct("_grams")).alias("_bg")
         )
-        .select(bench_id_col, F.xxhash64("_g").alias("_gh"))
+        .select(bench_id_col, "_bg", F.xxhash64("_bg").alias("_gh"))
         .distinct()
     )
-    hits = d_grams.join(F.broadcast(b_grams), "_gh")
+    hits = d_grams.join(F.broadcast(b_grams), "_gh").filter(
+        F.col("_g") == F.col("_bg")  # collision re-verify, hits only
+    )
     return hits.groupBy(id_col).agg(
-        F.countDistinct("_gh").alias("n_hit_ngrams"),
+        F.countDistinct("_g").alias("n_hit_ngrams"),
         F.countDistinct(bench_id_col).alias("n_bench_docs"),
     )
 

@@ -82,15 +82,20 @@ def _contract_guard():
 
 
 def parse_builtin(df: DataFrame) -> DataFrame:
-    """JVM-only parse: element_at + arithmetic, fully codegen'd."""
+    """JVM-only parse: element_at + arithmetic, fully codegen'd.
+    The guard is the LEFT operand of each sum: codegen evaluates
+    children left-to-right, so the contract message fires before an
+    ANSI-mode element_at can throw its own INVALID_ARRAY_INDEX on a
+    too-short array — identical error text to parse_arrow on every
+    malformed shape, including tokens = []."""
     t = lambda i: F.element_at(F.col("tokens"), i)  # 1-based  # noqa: E731
     g = _contract_guard()
     raw = (
-        df.withColumn("level_id", t(1) % 8 + g)
-        .withColumn("ts_minute", t(2) + g)
+        df.withColumn("level_id", g + t(1) % 8)
+        .withColumn("ts_minute", g + t(2))
         .withColumn(
             "status_code",
-            ((t(3) % 5 + 1) * 100 + t(3) % 100 + g).cast("int"),
+            (g + (t(3) % 5 + 1) * 100 + t(3) % 100).cast("int"),
         )
     )
     return _finish(raw)

@@ -180,9 +180,14 @@ class Pipeline:
             with ThreadPoolExecutor(min(32, len(to_hash))) as ex:
                 for p, fp in zip(to_hash, ex.map(self._file_fingerprint, to_hash)):
                     out[p] = fp
-        self.store.write_stat_cache(
-            {p: (stats[p].st_size, stats[p].st_mtime_ns, out[p]) for p in paths}
-        )
+        entries = {
+            p: (stats[p].st_size, stats[p].st_mtime_ns, out[p]) for p in paths
+        }
+        # skip the rewrite when nothing changed: a steady-state rescan
+        # loop (every 5 s at 10^5 files) must not re-serialize a
+        # multi-MB JSON per scan just to store what it already holds
+        if entries != cached:
+            self.store.write_stat_cache(entries)
         return out
 
     def _retire_batch(self, batch_seq: int, reason: str) -> None:
@@ -220,16 +225,33 @@ class Pipeline:
         for seq in sorted(state):
             files = state[seq]
             reason = None
+            adopted = []
             for path, fp in files.items():
                 if path not in current:
                     reason = f"removed:{path}"
                     break
+                # fp None = store predates fingerprints (schema
+                # evolution): identity unknown — ADOPT the current
+                # fingerprint rather than treating the mismatch as a
+                # rotation, or a no-op upgrade would retire and
+                # reprocess every committed batch. The adopted value
+                # is recorded below so the NEXT rotation of the file
+                # is detected normally.
+                if fp is None:
+                    adopted.append(path)
+                    continue
                 if current[path] != fp:
                     reason = f"rotated:{path}"
                     break
             if reason:
                 self._retire_batch(seq, reason)
                 del state[seq]
+            elif adopted:
+                self.store.record_ingest(
+                    seq, adopted, self.conf.run_id, fingerprints=current
+                )
+                for p_ in adopted:
+                    state[seq][p_] = current[p_]
 
         known = {p for files in state.values() for p in files}
         new_files = sorted(p for p in current if p not in known)

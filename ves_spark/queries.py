@@ -1330,8 +1330,10 @@ def sessionization_stream(spark, sf_dir):
     the driver harness itself: same gap (30 min), same strict->
     boundary, append-mode exactly-once."""
     import hashlib
+    import os
     import shutil
     import tempfile
+    from datetime import timedelta
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1339,9 +1341,11 @@ def sessionization_stream(spark, sf_dir):
     from ves_spark.streaming.stateful import stream_sessionize
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    # stable base + pid: concurrent drivers on the same sf_dir must
+    # not rmtree each other's stream checkpoint mid-query
     root = (
         f"{tempfile.gettempdir()}/ves_sess_stream_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
     src = f"{root}/src"
@@ -1357,8 +1361,7 @@ def sessionization_stream(spark, sf_dir):
             {
                 "user_id": pa.array([-1], pa.int64()),
                 "ts": pa.array(
-                    [max_ts + __import__("datetime").timedelta(days=365)],
-                    pa.timestamp("us"),
+                    [max_ts + timedelta(days=365)], pa.timestamp("us")
                 ),
             }
         ),
@@ -1412,6 +1415,7 @@ def merge_upsert_events(spark, sf_dir):
     state back. The oracle is the pure latest-row-per-key over the
     union — equality proves the partition-scoped emulated MERGE
     composes correctly across batches."""
+    import os
     import shutil
     import tempfile
 
@@ -1421,15 +1425,15 @@ def merge_upsert_events(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    # md5, not hash(): hash() is salted per process, so the path would
-    # change every run (leaked tmp dirs) and two concurrent drivers
-    # could collide between rmtree and write. md5 is stable: reruns
-    # reuse one name per sf_dir.
+    # stable md5 base per sf_dir (reruns in one process reuse and
+    # clean the same dir — no per-run leak like salted hash()) PLUS
+    # the pid, so two concurrent drivers benching the same sf_dir
+    # cannot rmtree each other's live catalog mid-query.
     import hashlib
 
     root = (
         f"{tempfile.gettempdir()}/ves_upsert_q_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
     cat = ParquetCatalog(root)
