@@ -416,3 +416,34 @@ def test_contaminated_docs_planted(spark):
     # doc 1 grams overlapping bench: "the quick brown fox jumps",
     # "quick brown fox jumps over" -> 2 hits
     assert got[3] == (5, 1)  # a 9-word doc has 5 distinct 5-grams, all hit
+
+
+def test_connected_components_chain_and_merge(spark):
+    from ves_spark.operators.components import (
+        connected_components,
+        dedup_keepers,
+    )
+
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, bridge merging {20,21}
+    # and {22,23} via (21,22), singleton 99 not in any edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (22, 23), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long"
+    )
+    keep = {
+        r["doc_id"]: r["keeper"]
+        for r in dedup_keepers(docs, connected_components(edges)).collect()
+    }
+    # one keeper per component; isolated docs keep themselves
+    assert keep == {1: True, 2: False, 3: False, 4: False,
+                    10: True, 11: False, 99: True}

@@ -678,6 +678,56 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 
 
 @register(
+    "dedup_components",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words WHERE len(w) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes na ON common.id_a = na.doc_id
+      JOIN sizes nb ON common.id_b = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.2
+    ), sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach(a, b) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT r.a, y.d FROM reach r JOIN sym y ON r.b = y.s
+    )
+    SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the n-gram
+    Jaccard pair graph (near-dup relations chain — A~B~C needs the
+    whole component to pick one keeper). Spark side is iterative
+    hash-min label propagation (operators/components.py); the oracle
+    is the full transitive closure as a DuckDB recursive CTE — an
+    iterative DataFrame algorithm proven against recursive SQL."""
+    from ves_spark.operators.components import connected_components
+    from ves_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.2)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
     "simhash_near_pairs",
     """
     WITH d AS (
