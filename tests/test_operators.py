@@ -447,3 +447,22 @@ def test_connected_components_chain_and_merge(spark):
     # one keeper per component; isolated docs keep themselves
     assert keep == {1: True, 2: False, 3: False, 4: False,
                     10: True, 11: False, 99: True}
+
+
+def test_pack_chunks_spanning_and_offsets(spark):
+    from ves_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [("s", 1, 100), ("s", 2, 100), ("s", 3, 100), ("t", 9, 600)],
+        "source string, doc_id long, n long",
+    )
+    got = {
+        r["doc_id"]: (r["tok_start"], r["chunk_start"], r["chunk_end"], r["start_off"])
+        for r in pack_chunks(df, 256, F.col("n"), "source", "doc_id").collect()
+    }
+    # stream s: docs at 0, 100, 200; doc 2 fits chunk 0, doc 3 SPANS 0->1
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2] == (100, 0, 0, 100)
+    assert got[3] == (200, 0, 1, 200)
+    # stream t is independent; a 600-tok doc spans chunks 0..2
+    assert got[9] == (0, 0, 2, 0)

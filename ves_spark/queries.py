@@ -1132,6 +1132,47 @@ def decontaminate_docs(spark, sf_dir):
 
 
 @register(
+    "pack_chunks_docs",
+    """
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_size
+      FROM documents
+    ), pre AS (
+      SELECT doc_id, source, n_size,
+             CAST(coalesce(sum(n_size) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_start
+      FROM sized
+    )
+    SELECT doc_id, source, n_size, tok_start,
+           CAST(floor(tok_start / 256.0) AS BIGINT) AS chunk_start,
+           CAST(floor((tok_start + greatest(n_size, 1) - 1) / 256.0) AS BIGINT)
+             AS chunk_end,
+           CAST(tok_start % 256 AS BIGINT) AS start_off
+    FROM pre
+    """,
+)
+def pack_chunks_docs(spark, sf_dir):
+    """Sequence packing for pretraining (GPT-style concat-and-chunk):
+    deterministic per-stream layout of docs into capacity-256 chunks,
+    docs spanning boundaries. Window arithmetic only — one shuffle on
+    the stream key (operators/packing.py has the 100 TB shard
+    strategy)."""
+    from ves_spark.operators.packing import pack_chunks
+    from ves_spark.operators.text import ws_token_count
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return pack_chunks(
+        d, 256, ws_token_count(F.col("text")), "source", "doc_id"
+    ).select(
+        "doc_id", "source", "n_size", "tok_start",
+        "chunk_start", "chunk_end", "start_off",
+    )
+
+
+@register(
     "quality_scores_docs",
     """
     WITH f AS (
