@@ -1,0 +1,194 @@
+"""Round-5 regression tests: scoped foreachBatch retraction (routed-
+sink set, not every prefix-matched table), strict watermark confirm at
+the exact session-gap boundary, and compact-lock ownership on release.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ves_spark.checkpoint import LineageStore
+from ves_spark.sources.catalog import ParquetCatalog
+from ves_spark.streaming.stream_pipeline import deliver_to_sinks
+
+
+# -------------------------------------- scoped stale-sink retraction
+def test_retraction_scoped_to_own_routed_sinks(spark, tmp_path):
+    """Two streaming queries sharing a catalog root (batch_id counters
+    both start at 0) must never retract each other's partitions: query
+    A's batch-0 delivery, which doesn't route to B's sink, must leave
+    B's committed batch-0 partition alone."""
+    cat = ParquetCatalog(str(tmp_path / "tables"))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id string, sink string")  # noqa: E731
+
+    deliver_b = deliver_to_sinks(cat)
+    deliver_b(mk([("d1", "b")]), batch_id=0)
+    b_part = str(tmp_path / "tables" / "sink_b" / "_batch_id=0")
+    assert os.path.isdir(b_part)
+
+    deliver_a = deliver_to_sinks(cat)  # independent query, same root
+    deliver_a(mk([("d2", "a")]), batch_id=0)
+    assert os.path.isdir(b_part), "query A retracted query B's partition"
+
+    # A's own redelivery semantics still work within its scope
+    deliver_a(mk([("d3", "c")]), batch_id=0)  # retry: now routes to c only
+    assert not os.path.isdir(str(tmp_path / "tables" / "sink_a" / "_batch_id=0"))
+    assert os.path.isdir(b_part)
+
+
+def test_retraction_scope_survives_restart(spark, tmp_path):
+    """With a routed_state_path (what run_per_sink_delivery passes),
+    a post-crash retry in a FRESH process retracts a sink written only
+    by the pre-crash attempt — the ever-routed set persists."""
+    cat = ParquetCatalog(str(tmp_path / "tables"))
+    state = str(tmp_path / "routed.json")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id string, sink string")  # noqa: E731
+
+    deliver1 = deliver_to_sinks(cat, routed_state_path=state)
+    deliver1(mk([("d1", "a"), ("d2", "b")]), batch_id=7)
+    assert os.path.isdir(str(tmp_path / "tables" / "sink_a" / "_batch_id=7"))
+
+    # "restart": a brand-new closure, same state file; rules changed
+    deliver2 = deliver_to_sinks(cat, routed_state_path=state)
+    deliver2(mk([("d2", "b"), ("d3", "b")]), batch_id=7)
+    assert not os.path.isdir(str(tmp_path / "tables" / "sink_a" / "_batch_id=7"))
+    assert spark.read.parquet(str(tmp_path / "tables" / "sink_b")).count() == 2
+
+
+# ------------------------------- strict confirm at exact gap boundary
+class _FakeState:
+    """Minimal GroupState double for unit-driving _session_fn."""
+
+    def __init__(self, state_tuple, wm_ms, timed_out=False):
+        self._state = state_tuple
+        self._wm_ms = wm_ms
+        self.hasTimedOut = timed_out
+        self.updated = None
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        return self._state
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _run_session_fn(state_tuple, wm_ms, gap_us=1_800_000_000):
+    from ves_spark.streaming.stateful import _session_fn
+
+    st = _FakeState(state_tuple, wm_ms, timed_out=True)
+    out = list(_session_fn(gap_us)((1,), [], st))
+    return out, st
+
+
+def test_session_not_confirmed_at_exact_watermark_boundary():
+    """wm == last + gap must NOT emit: an event at ts == wm is still
+    admissible (watermark drops only ts < wm) and ts - last == gap
+    extends (merge splits only on > gap). Emitting here would be
+    premature and unretractable in append mode."""
+    gap_us = 1_800_000_000
+    en = 1_000_000_000_000_000  # µs, a whole ms so wm can sit exactly on it
+    state = ([en - 5_000_000], [en], [3])
+    wm_ms = (en + gap_us) // 1_000  # exactly at the deadline
+
+    out, st = _run_session_fn(state, wm_ms, gap_us)
+    assert out == [], "session emitted at wm == last + gap"
+    assert st.updated is not None, "pending session dropped from state"
+    # re-armed timeout must be strictly above the current watermark
+    assert st.timeout_ms is not None and st.timeout_ms > wm_ms
+
+
+def test_session_confirmed_one_ms_past_boundary():
+    gap_us = 1_800_000_000
+    en = 1_000_000_000_000_000
+    state = ([en - 5_000_000], [en], [3])
+    wm_ms = (en + gap_us) // 1_000 + 1  # 1 ms past: wm_us > deadline
+
+    out, st = _run_session_fn(state, wm_ms, gap_us)
+    assert len(out) == 1 and len(out[0]) == 1
+    assert int(out[0]["n_events"].iloc[0]) == 3
+    assert st.removed, "confirmed-only state should be removed"
+
+
+def test_boundary_event_bridges_after_exact_watermark():
+    """End-to-end at the boundary: with wm == last + gap the session
+    stays pending, and a next-batch event exactly gap after `last`
+    (admissible: ts > wm is trivially >= wm) must EXTEND it."""
+    from ves_spark.streaming.stateful import _session_fn
+
+    gap_us = 1_800_000_000
+    en = 1_000_000_000_000_000
+    fn = _session_fn(gap_us)
+
+    st1 = _FakeState(([en], [en], [1]), (en + gap_us) // 1_000, timed_out=True)
+    assert list(fn((1,), [], st1)) == []
+    starts, lasts, ns = st1.updated
+
+    # the bridging event, exactly at last + gap
+    ev = pd.DataFrame({"ts": pd.to_datetime([en + gap_us], unit="us")})
+    st2 = _FakeState((starts, lasts, ns), (en + gap_us) // 1_000)
+    out = list(fn((1,), [ev], st2))
+    assert out == []  # still one open session, now longer
+    _, lasts2, ns2 = st2.updated
+    assert ns2 == [2] and lasts2 == [en + gap_us]
+
+
+# ----------------------------------- compact-lock release ownership
+def test_slow_compactor_does_not_remove_thiefs_lock(tmp_path):
+    """An owner that survives past the staleness window and gets its
+    lock stolen (rename + fresh create) must NOT remove the thief's
+    lock on release — else a third compactor could run concurrently
+    with the thief."""
+    store = LineageStore(str(tmp_path / "lineage"), compact_every=1000)
+    row = {
+        "run_id": "r",
+        "stage": "route",
+        "unit_id": 0,
+        "source": "s0",
+        "rows": 1,
+        "bytes": 1,
+        "snapshot_id": 0,
+    }
+    store.append([row])
+    store.append([dict(row, unit_id=1)])
+    lock = os.path.join(store.path, ".compact.lock")
+
+    real_locked = store._compact_locked
+
+    def slow_then_stolen():
+        real_locked()
+        # simulate the thief winning a stale takeover mid-compaction:
+        # our lock is renamed away and a fresh one appears at the path
+        os.rename(lock, lock + ".stolen")
+        with open(lock, "w") as f:
+            f.write("thief")
+        os.remove(lock + ".stolen")
+
+    store._compact_locked = slow_then_stolen
+    store.compact()
+    assert os.path.exists(lock), "owner removed the thief's fresh lock"
+    assert open(lock).read() == "thief"
+    os.remove(lock)
+
+    # normal path still releases its own lock
+    store._compact_locked = real_locked
+    store.append([dict(row, unit_id=2)])
+    store.compact()
+    assert not os.path.exists(lock)

@@ -216,11 +216,23 @@ class LineageStore:
         try:
             self._compact_locked()
         finally:
-            os.close(fd)
+            # Release ONLY if we still own the lock path: an owner that
+            # survived past the staleness window has been renamed away
+            # by a thief, and an unconditional remove here would delete
+            # the thief's FRESH lock — letting a third compactor in.
+            # Ownership test = our fd's inode still lives at the lock
+            # path (the steal is a rename, so a stolen lock's path
+            # holds a different inode).
             try:
-                os.remove(lock)
+                owned = os.fstat(fd).st_ino == os.stat(lock).st_ino
             except OSError:
-                pass
+                owned = False
+            os.close(fd)
+            if owned:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
 
     def _compact_locked(self) -> None:
         import json

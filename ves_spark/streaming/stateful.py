@@ -117,11 +117,16 @@ def _session_fn(gap_us: int):
 
         # emit every session the watermark has confirmed closed; the
         # open (final) session included — if wm passed ITS deadline no
-        # event can extend it either (events below wm are dropped
-        # upstream by the watermark operator). The watermark API is
-        # millisecond-grained: compare in us via exact *1000.
+        # event can extend it either (only events with ts < wm are
+        # dropped upstream by the watermark operator). STRICT compare:
+        # an event at ts == wm is still admissible, and ts == en + gap
+        # extends the session (merge_sessions splits only on > gap),
+        # so at wm == en + gap the session may yet grow — emitting it
+        # then would be premature and unretractable in append mode.
+        # The watermark API is millisecond-grained: compare in us via
+        # exact *1000.
         wm_us = state.getCurrentWatermarkMs() * 1_000
-        confirmed = en + gap_us <= wm_us
+        confirmed = en + gap_us < wm_us
         if confirmed.any():
             cs, ce, cn = st[confirmed], en[confirmed], nn[confirmed]
             keep = ~confirmed
@@ -138,12 +143,13 @@ def _session_fn(gap_us: int):
         if len(st):
             state.update((st.tolist(), en.tolist(), nn.tolist()))
             # earliest unconfirmed deadline (lasts are increasing, so
-            # it's the first entry). setTimeoutTimestamp is ms — round
-            # UP so the timeout never fires before the us deadline
-            # (firing implies wm_ms*1000 >= ceil(deadline/1000)*1000
-            # >= deadline, so the session is then confirmed and the
-            # re-arm-below-watermark case cannot arise)
-            state.setTimeoutTimestamp(-((int(en[0]) + gap_us) // -1_000))
+            # it's the first entry). setTimeoutTimestamp is ms — use
+            # floor+1 so firing implies wm_us >= (deadline//1000+1)
+            # *1000 > deadline, satisfying the STRICT confirm above;
+            # and if the watermark sits exactly AT a deadline (session
+            # unconfirmed), the re-armed timeout is wm_ms+1 — strictly
+            # above the watermark, as the GroupState API requires.
+            state.setTimeoutTimestamp((int(en[0]) + gap_us) // 1_000 + 1)
         elif state.exists:
             state.remove()
 

@@ -18,6 +18,8 @@ memory sink.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,7 +97,9 @@ def finalize_stream_percentiles(hist: DataFrame, p: int = 7) -> DataFrame:
     )
 
 
-def deliver_to_sinks(catalog, table_prefix: str = "sink_"):
+def deliver_to_sinks(
+    catalog, table_prefix: str = "sink_", routed_state_path: str | None = None
+):
     """foreachBatch writer: per-sink fan-out through the TableCatalog
     seam (the reference's event dispatcher, one write per sink).
 
@@ -105,16 +109,53 @@ def deliver_to_sinks(catalog, table_prefix: str = "sink_"):
     makes redelivery idempotent — the canonical replayable-sink
     pattern. The batch is persisted once and sliced per sink (the sink
     set is bounded by the route rules, so the driver-side distinct is
-    metadata-sized)."""
+    metadata-sized).
+
+    ``routed_state_path``: file persisting the set of sink tables THIS
+    query has ever routed to, used to scope the stale-sink retraction
+    below. Without it the set lives only in this closure — fine for a
+    single process, but retraction after a restart then can't see
+    sinks written solely by a pre-crash attempt, so production callers
+    (``run_per_sink_delivery``) keep it next to the streaming
+    checkpoint. Scoping matters: retracting from every catalog table
+    matching ``table_prefix`` would let two queries sharing a catalog
+    root (whose independent batch_id counters both start at 0) delete
+    each other's committed partitions every batch."""
+    import json  # noqa: PLC0415
+
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    def deliver(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import SparkSession
+    mem_routed: set[str] = set()
 
+    def _ever_routed(current: set[str]) -> set[str]:
+        """Union ``current`` into the persisted ever-routed set and
+        return it. Persisted BEFORE the partition writes so any table
+        a crashed attempt may have written is already recorded when
+        the retry reads the set back."""
+        ever = set(mem_routed)
+        if routed_state_path and os.path.exists(routed_state_path):
+            try:
+                with open(routed_state_path) as f:
+                    ever |= set(json.load(f))
+            except (OSError, ValueError):
+                pass
+        ever |= current
+        if routed_state_path:
+            tmp = f"{routed_state_path}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(ever), f)
+            os.replace(tmp, routed_state_path)
+        mem_routed.clear()
+        mem_routed.update(ever)
+        return ever
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
         stamped = batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
         stamped.persist()
         try:
             sinks = [r["sink"] for r in stamped.select("sink").distinct().collect()]
+            present = {f"{table_prefix}{s}" for s in sinks}
+            ever = _ever_routed(present)
             for s in sinks:
                 catalog.overwrite_partitions(
                     stamped.filter(F.col("sink") == s).drop("sink"),
@@ -126,15 +167,11 @@ def deliver_to_sinks(catalog, table_prefix: str = "sink_"):
             # partition and the retry no longer routes to X (route
             # rules changed across restart), that stale partition would
             # be double-counted forever — overwrite can't touch a sink
-            # it never writes. Mirror the batch pipeline's pre-delete:
-            # drop this batch_id's partition in every known sink table
-            # absent from the current batch. Idempotent and metadata-
-            # cheap (the sink set is bounded by the route rules).
-            spark = SparkSession.getActiveSession()
-            present = {f"{table_prefix}{s}" for s in sinks}
-            for tbl in catalog.list_tables(spark, table_prefix):
-                if tbl not in present:
-                    catalog.delete_partitions(tbl, [{"_batch_id": int(batch_id)}])
+            # it never writes. Scope: only tables THIS query has ever
+            # routed to (never other queries' tables under a shared
+            # catalog root). Idempotent and metadata-cheap.
+            for tbl in sorted(ever - present):
+                catalog.delete_partitions(tbl, [{"_batch_id": int(batch_id)}])
         finally:
             stamped.unpersist()
 
@@ -156,8 +193,13 @@ def run_per_sink_delivery(
     routed = stream_transform(
         spark, stream, source_meta_path, route_rules_path
     )
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    deliver = deliver_to_sinks(
+        catalog,
+        routed_state_path=os.path.join(checkpoint_dir, "ves_routed_sinks.json"),
+    )
     q = (
-        routed.writeStream.foreachBatch(deliver_to_sinks(catalog))
+        routed.writeStream.foreachBatch(deliver)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
