@@ -449,6 +449,30 @@ def test_connected_components_chain_and_merge(spark):
                     10: True, 11: False, 99: True}
 
 
+def test_connected_components_adversarial_chain_logarithmic(spark):
+    """A 2,000-node path graph (diameter 1,999) must close in <= 15
+    alternating large-star/small-star rounds — hash-min label
+    propagation would need ~2,000. max_iter doubles as the round
+    budget: finishing under max_iter=15 proves the bound, and the
+    operator must RAISE (never return wrong labels) when the budget
+    is genuinely too small."""
+    import pytest
+
+    from ves_spark.operators.components import connected_components
+
+    n = 2000
+    edges = spark.range(1, n).selectExpr("id AS id_a", "id + 1 AS id_b")
+
+    comp = connected_components(edges, max_iter=15)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 1 for r in rows)
+    assert sorted(r["node"] for r in rows) == list(range(1, n + 1))
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_pack_chunks_spanning_and_offsets(spark):
     from ves_spark.operators.packing import pack_chunks
 

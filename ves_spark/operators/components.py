@@ -4,28 +4,81 @@ chain (A~B, B~C without A~C), so keep/drop choices need the whole
 component, not pairs — every doc gets the component's minimum doc id
 as its canonical representative.
 
-Algorithm: hash-min label propagation as iterative DataFrame joins —
-each round, every node takes the min label among itself and its
-neighbours; converged when nothing changes. Rounds needed = component
-diameter, and near-dup components are shallow (duplicates of a common
-ancestor), so a handful of rounds closes real corpora.
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) as iterative
+DataFrame ops. The state is the edge set itself, kept canonical as
+(a, b) with a > b; each round rewires edges toward per-neighborhood
+minima:
 
-Scale shape (100 TB): edges are symmetrized once and only (node,
-label) pairs shuffle per round — O(E) per round on the dup-pair set,
-which is orders of magnitude smaller than the corpus. Labels persist
-per round and the previous round unpersists (bounded lineage/memory;
-``localCheckpoint`` would cut lineage too but persists suffice at
-O(diameter) rounds). For adversarial long-chain graphs the
-production-scale upgrade is alternating large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce"), which
-converges in O(log d) rounds with the same join shape — the seam is
-this function's body, not its callers.
+* large-star: every node u computes m = min(N(u) ∪ {u}) and re-points
+  each LARGER neighbor v > u at m;
+* small-star: every node u (now the larger endpoint of each canonical
+  edge) re-points its smaller neighbors AND itself at m = min(N⁻(u)).
+
+Both steps preserve connectivity, and the edge set converges to a
+star forest — every node holding an edge straight to its component's
+minimum — in O(log² n) rounds worst-case and ~log₂(diameter) rounds
+empirically, vs O(diameter) for hash-min label propagation (a
+2,000-node path closes in ≤15 rounds here; hash-min would need
+2,000 — see tests/test_operators.py adversarial-chain test).
+
+Scale shape (100 TB): per round, one map-side-combined groupBy on the
+node id (partial min aggregation — skew-proof even at a mega-hub,
+unlike a window min which gives the hub's whole partition to one
+task) plus one equi-join back on the same key (AQE skew-join splits
+the hot hub key). Shuffled payload is only (long, long) pairs, O(E)
+per round on the dup-pair graph — orders of magnitude smaller than
+the corpus. The convergence check rides the same cached round state:
+an edge-set stability probe (count + left-anti limit-1) on the frame
+the next round needs anyway. Exhausting ``max_iter`` RAISES — a
+silently-unconverged label map would hand callers wrong components.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set in canonical (a > b) form, self-loops
+    dropped, deduplicated."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    return e.select(
+        F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Re-point every node's larger neighbors at min(N(u) ∪ {u})."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Per larger endpoint u: m = min of its smaller neighbors; point
+    every smaller neighbor and u itself at m."""
+    mins = e.groupBy("a").agg(F.min("b").alias("mn"))
+    joined = e.join(mins, "a")
+    to_nbrs = joined.select(F.col("b").alias("a"), F.col("mn").alias("b"))
+    to_self = joined.select(F.col("a").alias("a"), F.col("mn").alias("b"))
+    return (
+        to_nbrs.union(to_self)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -36,50 +89,50 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable. Undirected: edges are
-    symmetrized internally."""
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-    )
-    sym.persist()
-    labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-    )
-    labels.persist()
+    symmetrized/canonicalized internally.
 
+    Raises ``RuntimeError`` if the edge set hasn't stabilized after
+    ``max_iter`` large+small rounds (log-scale rounds make this
+    unreachable for any plausible graph; reaching it means wrong
+    labels, which must never be returned silently)."""
+    # localCheckpoint (not persist): each star step references its
+    # input frame many times, so the LOGICAL plan would grow ~10x per
+    # round — exponential analysis cost/OOM by round 4 even though the
+    # physical data is cached. Checkpointing truncates lineage to a
+    # leaf per round (bounded plans, bounded driver memory); on a real
+    # cluster with flaky executors, swap for reliable checkpoint() —
+    # the round state is O(E) longs either way.
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = e.count()
+
+    converged = False
     for _ in range(max_iter):
-        # every node's candidate: min neighbour label
-        msgs = (
-            sym.join(labels, sym.s == labels.node)
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_n = new_e.count()
+        # stability probe on the already-materialized round state:
+        # equal cardinality + no edge outside the old set ⇔ identical
+        # sets (both sides are distinct) — exact, and it reads only
+        # the two checkpointed leaves.
+        stable = new_n == n_edges and (
+            new_e.join(e, ["a", "b"], "left_anti").limit(1).count() == 0
         )
-        new_labels = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
-        new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        e, n_edges = new_e, new_n
+        if stable:
+            converged = True
             break
-    sym.unpersist()
-    return labels.select(F.col("node"), F.col("lbl").alias("component"))
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be wrong — raise max_iter or inspect the graph"
+        )
+
+    # terminal star forest: every edge is (member, center); centers
+    # label themselves
+    return e.select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    ).union(
+        e.select(F.col("b").alias("node"), F.col("b").alias("component"))
+    ).distinct()
 
 
 def dedup_keepers(
