@@ -490,3 +490,47 @@ def test_pack_chunks_spanning_and_offsets(spark):
     assert got[3] == (200, 0, 1, 200)
     # stream t is independent; a 600-tok doc spans chunks 0..2
     assert got[9] == (0, 0, 2, 0)
+
+
+def test_pack_chunks_sharded_skewed_source(spark):
+    """One source holding 90% of all tokens: the decomposed scan must
+    reproduce the sequential layout bit-for-bit, split the hot source
+    into multiple budget-bounded shards, and run its prefix windows
+    per (source, block) — not one task per source."""
+    import pytest
+
+    from ves_spark.operators.packing import pack_chunks, pack_chunks_sharded
+
+    # hot source: 900 docs x 100 tok = 90k; cold: 100 docs x 100 = 10k
+    rows = [("hot", f"h{i:04d}", 100) for i in range(900)]
+    rows += [("cold", f"c{i:04d}", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n long")
+
+    budget = 8_192
+    sharded = pack_chunks_sharded(df, 256, F.col("n"), budget, "source", "doc_id")
+    seq = pack_chunks(df, 256, F.col("n"), "source", "doc_id")
+
+    cols = ["tok_start", "chunk_start", "chunk_end", "start_off"]
+    got = {r["doc_id"]: tuple(r[c] for c in cols) for r in sharded.collect()}
+    exp = {r["doc_id"]: tuple(r[c] for c in cols) for r in seq.collect()}
+    assert got == exp, "decomposed scan diverged from sequential layout"
+
+    # shard accounting: hot source spans ceil(90000/8192)=11 shards,
+    # every shard's token total <= budget + one spanning doc
+    pdf = sharded.groupBy("source", "shard").agg(
+        F.sum("n_size").alias("tok")
+    ).collect()
+    by_src = {}
+    for r in pdf:
+        by_src.setdefault(r["source"], []).append(r["tok"])
+        assert r["tok"] <= budget + 100, (r["source"], r["shard"], r["tok"])
+    assert len(by_src["hot"]) == 11
+    assert len(by_src["cold"]) == 2  # 10k tokens / 8192 budget
+
+    # the prefix window is per (source, block): the physical plan's
+    # window partition spec must include the block id
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "_blk" in plan and "Window" in plan
+
+    with pytest.raises(ValueError, match="shard_budget"):
+        pack_chunks_sharded(df, 256, F.col("n"), 0)

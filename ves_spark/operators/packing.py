@@ -11,12 +11,16 @@ Pure window arithmetic — one shuffle on the stream key, everything
 else rides whole-stage codegen, and the same SQL runs on any engine
 (the driver oracle).
 
-Scale shape (100 TB): one window per stream. Production streams are
-(source, shard) with shard = a doc_id hash bucket sized so each
-stream's token count fits a task — packing is inherently sequential
-PER STREAM, so parallelism comes from stream count, not intra-stream
-splitting. Skewed sources get more shards, not salting (order must
-stay deterministic inside a stream).
+Scale shape (100 TB): ``pack_chunks`` runs one window per stream —
+fine while every stream fits a task. ``pack_chunks_sharded`` is the
+scale path for skewed sources: it computes the SAME exclusive prefix
+sum exactly but decomposed (distributed range-sort → per-partition-
+block windows → a metadata-sized block-offset table broadcast back),
+so the hot source's scan parallelizes across all cores while the
+layout stays bit-identical to the sequential definition; ``shard`` =
+floor(tok_start / budget) then caps every downstream stream at the
+configured token budget (plus at most one spanning doc). Skewed
+sources get more shards, never salting — order stays deterministic.
 """
 
 from __future__ import annotations
@@ -42,9 +46,15 @@ def pack_chunks(
     )
     sized = df.withColumn("n_size", size_col.cast("long"))
     prefix = F.coalesce(F.sum("n_size").over(w), F.lit(0).cast("long"))
-    out = sized.withColumn("tok_start", prefix)
+    return _chunk_cols(sized.withColumn("tok_start", prefix), capacity)
+
+
+def _chunk_cols(df: DataFrame, capacity: int) -> DataFrame:
+    """chunk_start / chunk_end / start_off from an existing tok_start
+    (shared by the sequential and sharded paths — the layout rule is
+    defined once)."""
     return (
-        out.withColumn(
+        df.withColumn(
             "chunk_start", F.floor(F.col("tok_start") / capacity).cast("long")
         )
         .withColumn(
@@ -56,3 +66,84 @@ def pack_chunks(
         )
         .withColumn("start_off", (F.col("tok_start") % capacity).cast("long"))
     )
+
+
+def sharded_prefix_sum(
+    df: DataFrame,
+    size_col: Column,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Exact exclusive prefix sum of ``size_col`` within ``part_col``
+    ordered by ``order_col`` — WITHOUT a single per-stream window.
+
+    Classic two-pass scan, Spark-shaped:
+
+    1. ``repartitionByRange(part_col, order_col)`` + in-partition sort:
+       a distributed sort whose partition boundaries respect the
+       global order, so ``spark_partition_id()`` is an ordered block
+       id (boundary placement varies with sampling, but ANY order-
+       preserving cut yields the same prefix sums — the result is
+       placement-independent).
+    2. local exclusive prefix per (part_col, block) — each window
+       partition is one Spark-partition-sized, so the hot stream's
+       scan runs on every core instead of one task.
+    3. per-(part_col, block) totals are a metadata-sized frame; their
+       exclusive running sum per part_col is each block's offset,
+       broadcast-joined back. tok_start = block offset + local prefix.
+
+    Adds: ``n_size`` (cast of size_col), ``tok_start``, and ``_blk``
+    (the block id, exposed so tests/plans can see the per-block window
+    partitioning)."""
+    sized = df.withColumn("n_size", size_col.cast("long"))
+    blocked = (
+        sized.repartitionByRange(F.col(part_col), F.col(order_col))
+        .sortWithinPartitions(part_col, order_col)
+        .withColumn("_blk", F.spark_partition_id())
+    )
+    local_w = (
+        W.partitionBy(part_col, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = blocked.withColumn(
+        "_local", F.coalesce(F.sum("n_size").over(local_w), F.lit(0).cast("long"))
+    )
+    totals = blocked.groupBy(part_col, "_blk").agg(F.sum("n_size").alias("_btot"))
+    off_w = (
+        W.partitionBy(part_col)
+        .orderBy("_blk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(off_w), F.lit(0).cast("long"))
+    ).select(part_col, "_blk", "_off")
+    return (
+        local.join(F.broadcast(offsets), [part_col, "_blk"])
+        .withColumn("tok_start", (F.col("_local") + F.col("_off")).cast("long"))
+        .drop("_local", "_off")
+    )
+
+
+def pack_chunks_sharded(
+    df: DataFrame,
+    capacity: int,
+    size_col: Column,
+    shard_budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """``pack_chunks`` layout (bit-identical tok_start/chunk ids) via
+    the scalable decomposed scan, plus size-aware shard keys: shard =
+    floor(tok_start / shard_budget), so every (part_col, shard) stream
+    holds at most ``shard_budget`` tokens of start positions (≤ budget
+    + one spanning doc of actual tokens) regardless of source skew —
+    downstream per-stream work (chunk writers, per-shard shuffles)
+    is bounded by the budget, and a source holding 90% of all tokens
+    simply gets proportionally more shards."""
+    if shard_budget <= 0:
+        raise ValueError(f"shard_budget must be positive, got {shard_budget}")
+    pre = sharded_prefix_sum(df, size_col, part_col, order_col)
+    return _chunk_cols(pre, capacity).withColumn(
+        "shard", F.floor(F.col("tok_start") / shard_budget).cast("long")
+    ).drop("_blk")

@@ -1208,25 +1208,29 @@ def decontaminate_docs(spark, sf_dir):
            CAST(floor(tok_start / 256.0) AS BIGINT) AS chunk_start,
            CAST(floor((tok_start + greatest(n_size, 1) - 1) / 256.0) AS BIGINT)
              AS chunk_end,
-           CAST(tok_start % 256 AS BIGINT) AS start_off
+           CAST(tok_start % 256 AS BIGINT) AS start_off,
+           CAST(floor(tok_start / 4096.0) AS BIGINT) AS shard
     FROM pre
     """,
 )
 def pack_chunks_docs(spark, sf_dir):
     """Sequence packing for pretraining (GPT-style concat-and-chunk):
     deterministic per-stream layout of docs into capacity-256 chunks,
-    docs spanning boundaries. Window arithmetic only — one shuffle on
-    the stream key (operators/packing.py has the 100 TB shard
-    strategy)."""
-    from ves_spark.operators.packing import pack_chunks
+    docs spanning boundaries, via the SCALABLE decomposed prefix scan
+    (range-sort → per-block windows → broadcast block offsets) plus
+    size-aware shard keys: shard = floor(tok_start/4096) caps every
+    (source, shard) stream at the token budget no matter how skewed
+    the source mix is. The oracle is the sequential window definition
+    — passing proves the decomposed scan reproduces it exactly."""
+    from ves_spark.operators.packing import pack_chunks_sharded
     from ves_spark.operators.text import ws_token_count
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    return pack_chunks(
-        d, 256, ws_token_count(F.col("text")), "source", "doc_id"
+    return pack_chunks_sharded(
+        d, 256, ws_token_count(F.col("text")), 4096, "source", "doc_id"
     ).select(
         "doc_id", "source", "n_size", "tok_start",
-        "chunk_start", "chunk_end", "start_off",
+        "chunk_start", "chunk_end", "start_off", "shard",
     )
 
 
