@@ -356,14 +356,22 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     )
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     exact = cosine_topk_bruteforce(q, c, k=5).toPandas()
-    approx = cosine_topk_ivf(q, c, k=5, stride=32, n_probe=8).toPandas()
     e_pairs = set(zip(exact["q_id"], exact["c_id"]))
-    a_pairs = set(zip(approx["q_id"], approx["c_id"]))
-    recall = len(e_pairs & a_pairs) / len(e_pairs)
-    # at this toy scale (500 diffuse vectors -> 16 cells) recall needs
-    # probing half the lists; the dial is n_probe/n_cells, the operator
-    # shape (broadcast centroids + equi-join on cent_id) is what scales
-    assert recall >= 0.6, f"IVF recall {recall}"
+
+    def recall(train_iters):
+        approx = cosine_topk_ivf(
+            q, c, k=5, n_cents=32, train_iters=train_iters, n_probe=8
+        ).toPandas()
+        a_pairs = set(zip(approx["q_id"], approx["c_id"]))
+        return len(e_pairs & a_pairs) / len(e_pairs), approx
+
+    # trained cells must beat the untrained seeded init at EQUAL cell
+    # and probe counts — the point of running Lloyd at all (measured
+    # here: 0.55 untrained -> 0.68 after 2 iterations)
+    r0, _ = recall(0)
+    r2, approx = recall(2)
+    assert r2 >= 0.6, f"IVF recall {r2}"
+    assert r2 > r0, f"training didn't help: {r0} -> {r2}"
     # the approximate scores it does return are the true cosines
     merged = approx.merge(exact, on=["q_id", "c_id"], suffixes=("_a", "_e"))
     assert (abs(merged["cos_a"] - merged["cos_e"]) < 1e-9).all()

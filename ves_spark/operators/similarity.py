@@ -233,12 +233,101 @@ def cosine_topk_lsh(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 32,
+    iters: int = 2,
+    dim: int = 64,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    quant: int = 1 << 20,
+) -> list[tuple[int, list[float]]]:
+    """Seeded Lloyd k-means over an embedding column, cross-engine
+    EXACT — every step is reproducible bit-for-bit in another engine
+    (the DuckDB oracle replays it), which takes three choices:
+
+    * init: Forgy-style seeded sample — the ``k`` corpus vectors with
+      the smallest (md5₃₂(id), id), a deterministic stand-in for
+      uniform random pick. (k-means|| oversampling is the production
+      upgrade; it is equally replayable — distances are deterministic
+      — just heavier to unroll in the oracle SQL.)
+    * assign: argmax of the sequential-fold double cosine, ties to the
+      smaller cent_id — identical in any engine.
+    * update: the mean is computed from INTEGER sums — each component
+      is scaled by 2^20 (exponent shift: exact for doubles) and
+      floored to a long, so the per-cluster sum is order-independent
+      and exact, then one double division yields the new component.
+      Quantization error ≤ 2^-20 per component; float mean order-
+      dependence (the cross-engine killer) is gone.
+
+    Returns driver-side (cent_id, vector) literals — k·dim doubles,
+    metadata-sized — so callers broadcast a literal table and oracle
+    SQL can be generated against the same construction. Scale shape:
+    each iteration is one broadcast crossJoin (n×k fold-cosines,
+    map-side) + one map-side-combined groupBy with k·dim long sums;
+    only k rows ever reach the driver."""
+    spark = corpus.sparkSession
+    h = F.conv(
+        F.substring(F.md5(F.col(c_id).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    seeds = (
+        corpus.select(
+            F.col(c_id).alias("cent_id"),
+            F.array(
+                *[F.col(c_vec)[d].cast("double") for d in range(dim)]
+            ).alias("cent_vec"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "cent_id")  # TakeOrdered: distributed top-k
+        .limit(k)
+        .drop("_h")
+    )
+    cents = [(r["cent_id"], list(r["cent_vec"])) for r in seeds.collect()]
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            cents, "cent_id long, cent_vec array<double>"
+        )
+        scored = corpus.crossJoin(F.broadcast(cdf)).select(
+            c_id,
+            c_vec,
+            "cent_id",
+            cosine(F.col(c_vec), F.col("cent_vec")).alias("_ccos"),
+        )
+        w = W.partitionBy(c_id).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
+        assign = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        stats = assign.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    F.floor(F.col(c_vec)[d].cast("double") * F.lit(float(quant)))
+                ).alias(f"_s{d}")
+                for d in range(dim)
+            ],
+        )
+        upd = {
+            r["cent_id"]: [
+                r[f"_s{d}"] / (quant * r["_n"]) for d in range(dim)
+            ]
+            for r in stats.collect()
+        }
+        # empty cluster: keep the previous centroid (deterministic,
+        # replicated by the oracle's LEFT JOIN + COALESCE)
+        cents = [(cid, upd.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    stride: int = 16,
+    n_cents: int = 32,
+    train_iters: int = 2,
     n_probe: int = 4,
+    dim: int = 64,
     q_id: str = "q_id",
     c_id: str = "c_id",
     q_vec: str = "q_vec",
@@ -249,21 +338,22 @@ def cosine_topk_ivf(
     to its nearest coarse centroid once (the inverted lists), and a
     query only scores the lists of its ``n_probe`` nearest centroids.
 
-    Centroids here are a deterministic 1/``stride`` slice of the corpus
-    itself (``id % stride == 0``) so the whole computation is exactly
-    reproducible in any engine (the DuckDB oracle replays it
-    bit-for-bit); a production deployment would swap in k-means
-    centroids trained offline — the operator shape is unchanged, only
-    the centroid table differs.
+    Centroids are trained with seeded Lloyd k-means
+    (``train_kmeans_centroids``) — real data-adaptive cells, yet
+    exactly reproducible in any engine (the DuckDB oracle replays the
+    training bit-for-bit thanks to the integer-sum mean).
 
-    Scale shape: the centroid table is tiny (n/stride rows) and
+    Scale shape: the centroid table is tiny (k rows of literals) and
     BROADCAST — assignment is one map-side pass over the corpus
-    (n x n/stride multiply-adds, the standard IVF build cost, BLAS-able
+    (n x k multiply-adds, the standard IVF build cost, BLAS-able
     via the matmul kernel pattern above); the probe join is an
     equi-join on ``cent_id``, so a query never touches out-of-list
     candidates and the shuffle key is one small int."""
-    cents = corpus.filter((F.col(c_id) % stride) == 0).select(
-        F.col(c_id).alias("cent_id"), F.col(c_vec).alias("cent_vec")
+    trained = train_kmeans_centroids(
+        corpus, k=n_cents, iters=train_iters, dim=dim, c_id=c_id, c_vec=c_vec
+    )
+    cents = corpus.sparkSession.createDataFrame(
+        trained, "cent_id long, cent_vec array<double>"
     )
 
     def nearest(df, idc, vecc, top):

@@ -930,12 +930,22 @@ def _ann_lsh_oracle_sql(n_planes: int = 3, n_tables: int = 12, dim: int = 64) ->
     """
 
 
-def _ann_ivf_oracle_sql(stride: int = 32, n_probe: int = 8, dim: int = 64) -> str:
-    """DuckDB replica of cosine_topk_ivf: centroids are the same
-    deterministic corpus slice (vec_id % stride = 0) in both engines,
-    assignment/probing use the same double-cast sequential-fold cosine
-    with the same (cos DESC, cent_id) tiebreak, so the inverted lists,
-    probe sets, and final top-k are bit-identical."""
+def _ann_ivf_oracle_sql(
+    k_cents: int = 32,
+    iters: int = 2,
+    n_probe: int = 8,
+    dim: int = 64,
+    quant: int = 1 << 20,
+) -> str:
+    """DuckDB replica of cosine_topk_ivf INCLUDING the seeded-Lloyd
+    k-means training (operators/similarity.py::train_kmeans_centroids)
+    — generated SQL that replays init (k smallest md5(id)), every
+    assignment (same double fold cosine, same tiebreak) and every
+    centroid update bit-for-bit. Cross-engine exactness of the update
+    hinges on the integer-sum mean: components are scaled by 2^20
+    (exact exponent shift), floored to BIGINT, summed exactly, then
+    divided once — no float-accumulation order anywhere."""
+    q_dbl = float(quant)
     cos = (
         "(list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
         f"FOR i IN range(1, {dim + 1})]) / "
@@ -944,31 +954,76 @@ def _ann_ivf_oracle_sql(stride: int = 32, n_probe: int = 8, dim: int = 64) -> st
         "sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
         f"FOR i IN range(1, {dim + 1})]))))"
     )
+    # cent_vec is already DOUBLE — the redundant CAST keeps one cosine
+    # template for both raw-float and trained-centroid operands
     c_cent = cos.format(a="c_vec", b="cent_vec")
     q_cent = cos.format(a="q_vec", b="cent_vec")
     q_c = cos.format(a="q_vec", b="c_vec")
-    return f"""
-    WITH q AS (
-      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+    md5_32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(c_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    sums = ",\n             ".join(
+        f"sum(CAST(floor(CAST(c_vec[{d + 1}] AS DOUBLE) * {q_dbl}) AS BIGINT)) AS s{d + 1}"
+        for d in range(dim)
+    )
+    mean_list = ", ".join(
+        f"CAST(u.s{d + 1} AS DOUBLE) / ({q_dbl} * u.n)" for d in range(dim)
+    )
+    parts = [
+        f"""
+    WITH base AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
     ),
-    cents AS (
-      SELECT vec_id AS cent_id, embedding AS cent_vec
-      FROM embeddings WHERE vec_id % {stride} = 0
+    cents0 AS (
+      SELECT c_id AS cent_id,
+             [CAST(c_vec[i] AS DOUBLE) FOR i IN range(1, {dim + 1})] AS cent_vec
+      FROM (
+        SELECT c_id, c_vec,
+               row_number() OVER (ORDER BY ({md5_32}), c_id) AS rn
+        FROM base) t
+      WHERE rn <= {k_cents}
+    )"""
+    ]
+    for it in range(iters):
+        parts.append(f""",
+    asg{it} AS (
+      SELECT c_id, c_vec, cent_id FROM (
+        SELECT b.c_id, b.c_vec, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY b.c_id ORDER BY {c_cent.replace("cent_vec", "c.cent_vec")} DESC, c.cent_id) AS rn
+        FROM base b CROSS JOIN cents{it} c) t
+      WHERE rn = 1
+    ),
+    upd{it} AS (
+      SELECT cent_id, count(*) AS n,
+             {sums}
+      FROM asg{it} GROUP BY cent_id
+    ),
+    cents{it + 1} AS (
+      SELECT c.cent_id,
+             CASE WHEN u.cent_id IS NULL THEN c.cent_vec
+                  ELSE [{mean_list}] END AS cent_vec
+      FROM cents{it} c LEFT JOIN upd{it} u USING (cent_id)
+    )""")
+    parts.append(f""",
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
     ),
     assign AS (
       SELECT c_id, c_vec, cent_id FROM (
-        SELECT c.vec_id AS c_id, c.embedding AS c_vec, cents.cent_id,
+        SELECT b.c_id, b.c_vec, c.cent_id,
                row_number() OVER (
-                 PARTITION BY c.vec_id ORDER BY {c_cent} DESC, cent_id) AS rn
-        FROM embeddings c CROSS JOIN cents) t
+                 PARTITION BY b.c_id ORDER BY {c_cent.replace("cent_vec", "c.cent_vec")} DESC, c.cent_id) AS rn
+        FROM base b CROSS JOIN cents{iters} c) t
       WHERE rn = 1
     ),
     probes AS (
       SELECT q_id, q_vec, cent_id FROM (
-        SELECT q.q_id, q.q_vec, cents.cent_id,
+        SELECT q.q_id, q.q_vec, c.cent_id,
                row_number() OVER (
-                 PARTITION BY q.q_id ORDER BY {q_cent} DESC, cent_id) AS rn
-        FROM q CROSS JOIN cents) t
+                 PARTITION BY q.q_id ORDER BY {q_cent.replace("cent_vec", "c.cent_vec")} DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN cents{iters} c) t
       WHERE rn <= {n_probe}
     ),
     scored AS (
@@ -981,7 +1036,8 @@ def _ann_ivf_oracle_sql(stride: int = 32, n_probe: int = 8, dim: int = 64) -> st
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
       FROM scored) t
     WHERE rnk <= 5
-    """
+    """)
+    return "".join(parts)
 
 
 def _embed_near_dup_oracle_sql(
@@ -1067,6 +1123,10 @@ def embedding_near_dup_pairs_q(spark, sf_dir):
 
 @register("ann_ivf_topk", _ann_ivf_oracle_sql())
 def ann_ivf_topk_q(spark, sf_dir):
+    """IVF ANN with centroids trained by seeded Lloyd k-means (2
+    iterations, 32 cells) — the oracle SQL replays init, assignments
+    and the integer-sum centroid updates bit-for-bit, so this checks
+    the TRAINING, not just the probe join."""
     from ves_spark.operators.similarity import cosine_topk_ivf
 
     e = load(spark, sf_dir, "embeddings")
@@ -1074,7 +1134,9 @@ def ann_ivf_topk_q(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return cosine_topk_ivf(queries_df, corpus, k=5, stride=32, n_probe=8)
+    return cosine_topk_ivf(
+        queries_df, corpus, k=5, n_cents=32, train_iters=2, n_probe=8
+    )
 
 
 @register("ann_lsh_topk", _ann_lsh_oracle_sql())
