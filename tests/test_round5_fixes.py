@@ -192,3 +192,62 @@ def test_slow_compactor_does_not_remove_thiefs_lock(tmp_path):
     store.append([dict(row, unit_id=2)])
     store.compact()
     assert not os.path.exists(lock)
+
+
+# --------------------------- streaming dedup under redelivered batches
+def test_stream_dedup_redelivered_microbatches_match_batch(spark, tmp_path):
+    """Injected duplicate micro-batches (the same sequences file
+    delivered twice) must not duplicate any sink row: per-sink tables
+    after the deduped stream equal the batch pipeline's routing of the
+    DISTINCT input, row for row."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ves_spark.enrich import enrich
+    from ves_spark.parse import parse_builtin
+    from ves_spark.route import route
+    from ves_spark.sources.catalog import ParquetCatalog
+    from ves_spark.streaming.stream_pipeline import run_per_sink_delivery
+    from ves_spark.synth import write_fixture
+
+    base = str(tmp_path)
+    fix = os.path.join(base, "fix")
+    write_fixture(fix, 2000, seed=7)
+    seq_dir = os.path.join(base, "seq")
+    os.makedirs(seq_dir)
+    # the redelivery: two byte-identical copies = two micro-batches
+    shutil.copy(
+        os.path.join(fix, "sequences.parquet"),
+        os.path.join(seq_dir, "part-0.parquet"),
+    )
+    shutil.copy(
+        os.path.join(fix, "sequences.parquet"),
+        os.path.join(seq_dir, "part-1.parquet"),
+    )
+
+    cat = ParquetCatalog(os.path.join(base, "tables"))
+    run_per_sink_delivery(
+        spark,
+        seq_dir,
+        os.path.join(fix, "source_meta.parquet"),
+        os.path.join(fix, "route_rules.parquet"),
+        cat,
+        os.path.join(base, "ckpt"),
+        dedup=True,
+    )
+
+    batch_seq = spark.read.parquet(os.path.join(fix, "sequences.parquet"))
+    meta = spark.read.parquet(os.path.join(fix, "source_meta.parquet"))
+    rules = spark.read.parquet(os.path.join(fix, "route_rules.parquet"))
+    routed = route(enrich(parse_builtin(batch_seq), meta), rules)
+    exp = {
+        r["sink"]: r["count"]
+        for r in routed.groupBy("sink").count().collect()
+    }
+    for sink, cnt in exp.items():
+        t = cat.read(spark, f"sink_{sink}")
+        assert t.count() == cnt, f"duplicates reached sink {sink}"
+        assert (
+            t.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+        )

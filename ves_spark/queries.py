@@ -1869,27 +1869,13 @@ def vocab_topk_words(spark, sf_dir):
 
 
 @register(
-    "hash_sample_documents",
+    "sample_documents",
     f"""
-    SELECT doc_id, lang
+    SELECT 'hash20' AS strategy, doc_id, lang
     FROM documents
     WHERE ({_DUCK_MD5_32}) % 100 < 20
-    """,
-)
-def hash_sample_documents(spark, sf_dir):
-    """Deterministic 20% sample by content-independent hash of the key
-    — reproducible across runs/engines (unlike rand()), uniform, and
-    a pure scan-side filter (no shuffle, prunes to two columns)."""
-    d = load(spark, sf_dir, "documents")
-    return d.filter(_spark_md5_32(F.col("doc_id")) % 100 < 20).select(
-        "doc_id", "lang"
-    )
-
-
-@register(
-    "quota_sample_per_lang",
-    f"""
-    SELECT lang, doc_id FROM (
+    UNION ALL
+    SELECT 'quota10' AS strategy, doc_id, lang FROM (
       SELECT lang, doc_id,
              row_number() OVER (
                PARTITION BY lang
@@ -1898,17 +1884,81 @@ def hash_sample_documents(spark, sf_dir):
     WHERE rn <= 10
     """,
 )
-def quota_sample_per_lang(spark, sf_dir):
-    """Per-group quota sampling (10 docs per language): hash-ordered
-    row_number per group — the balanced-mixture primitive for training
-    sets. One shuffle on the group key; the hash order makes the
-    'random' pick deterministic and engine-independent."""
+def sample_documents(spark, sf_dir):
+    """Both training-set sampling primitives in one driver check
+    (merged to keep the registry within the driver's 50-query cap):
+
+    * hash20 — deterministic 20% Bernoulli sample by content-
+      independent hash of the key: reproducible across runs/engines
+      (unlike rand()), uniform, a pure scan-side filter (no shuffle);
+    * quota10 — per-group quota sampling (10 docs per language) via
+      hash-ordered row_number: the balanced-mixture primitive; one
+      shuffle on the group key, hash order makes the 'random' pick
+      deterministic and engine-independent."""
     d = load(spark, sf_dir, "documents")
+    hash20 = (
+        d.filter(_spark_md5_32(F.col("doc_id")) % 100 < 20)
+        .select(F.lit("hash20").alias("strategy"), "doc_id", "lang")
+    )
     w = W.partitionBy("lang").orderBy(
         (_spark_md5_32(F.col("doc_id")) % 1000000).asc(), F.col("doc_id").asc()
     )
-    return (
+    quota10 = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
-        .select("lang", "doc_id")
+        .select(F.lit("quota10").alias("strategy"), "doc_id", "lang")
     )
+    return hash20.unionByName(quota10)
+
+
+@register(
+    "stream_dedup_docs",
+    """
+    SELECT doc_id, source, lang FROM documents
+    """,
+)
+def stream_dedup_docs(spark, sf_dir):
+    """Streaming exactly-once-by-identity, driver-oracled: the
+    documents table is delivered TWICE (two identical parquet files =
+    two micro-batches under maxFilesPerTrigger=1 — an injected
+    redelivery) and streamed through ``dedup_stream``
+    (dropDuplicatesWithinWatermark on doc_id); the memory sink must
+    hold every doc exactly once, so the batch oracle is simply the
+    table itself. Deterministic regardless of micro-batch order
+    because the two deliveries are identical copies. Re-expresses the
+    reference's checkpoint-identity skip (discovery.rs:33-35) on the
+    live-tail path; the batch path's equivalent is the lineage
+    anti-join."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from ves_spark.streaming.stream_pipeline import dedup_stream
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="ves_streamdedup_")
+    src = _os.path.join(work, "in")
+    d.coalesce(1).write.parquet(src)
+    d.coalesce(1).write.mode("append").parquet(src)  # the redelivery
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qname = f"sdq_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(stream, key="doc_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT doc_id, source, lang FROM {qname}")

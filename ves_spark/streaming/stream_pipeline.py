@@ -29,17 +29,44 @@ from ves_spark.route import route
 from ves_spark.schema import SEQUENCES
 
 
+def dedup_stream(
+    df: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-by-identity on the live stream: a redelivered row
+    with an already-seen ``key`` is dropped while the key is inside
+    the watermark window — the reference's core dedup semantic
+    (discovery.rs:33-35 skips files whose identity the checkpoint
+    already holds), which the batch path enforces via the lineage
+    anti-join but the stream path previously did not. State is keyed
+    by ``key`` in the state store (one shuffle) and evicted once the
+    event-time watermark passes the row's timestamp + delay, so state
+    is bounded by the redelivery horizon, not the stream length."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
 def stream_transform(
     spark: SparkSession,
     stream_df: DataFrame,
     source_meta_path: str,
     route_rules_path: str,
     parse_impl: str = "builtin",
+    dedup: bool = False,
 ) -> DataFrame:
-    """parse -> enrich -> route on a streaming frame (stateless)."""
+    """parse -> [dedup] -> enrich -> route on a streaming frame.
+
+    ``dedup=True`` inserts exactly-once-by-doc_id between parse and
+    enrich (before route, which fans rows out 0..k-fold and would make
+    the identity non-unique). The stateless stages are shared verbatim
+    with the batch path."""
     meta = spark.read.parquet(source_meta_path)
     rules = spark.read.parquet(route_rules_path)
-    return route(enrich(parse(stream_df, parse_impl), meta), rules)
+    parsed = parse(stream_df, parse_impl)
+    if dedup:
+        parsed = dedup_stream(parsed)
+    return route(enrich(parsed, meta), rules)
 
 
 def stream_rollup(routed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -185,13 +212,17 @@ def run_per_sink_delivery(
     route_rules_path: str,
     catalog,
     checkpoint_dir: str,
+    dedup: bool = False,
 ) -> None:
     """Drive the routed stream to completion, delivering per-sink
     tables via foreachBatch (production shape; tests run it on a
-    finite directory)."""
+    finite directory). ``dedup=True`` turns on exactly-once-by-doc_id
+    across micro-batches (``dedup_stream``) — opt-in because inputs
+    that legitimately re-use ids (append-style fixtures) would be
+    collapsed."""
     stream = open_stream(spark, sequences_dir)
     routed = stream_transform(
-        spark, stream, source_meta_path, route_rules_path
+        spark, stream, source_meta_path, route_rules_path, dedup=dedup
     )
     os.makedirs(checkpoint_dir, exist_ok=True)
     deliver = deliver_to_sinks(
