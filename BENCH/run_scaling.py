@@ -46,6 +46,12 @@ _MEASURED_PATHS = [
 # parse.py commit must not invalidate probe samples and vice versa).
 _PROBE_PATHS = ["ves_spark/session.py", "BENCH/compute_probe.py"]
 
+# Per-query floors pool across invocations only while NO operator/query
+# code changed: scope to the whole package (any ves_spark commit starts
+# a fresh floor pool — per-query walls measure queries.py + operators/,
+# not just the pipeline stages).
+_QUERY_PATHS = ["ves_spark"]
+
 
 def _paths_sha(paths: list[str]) -> str:
     try:
@@ -209,6 +215,57 @@ def _latest_bench_queries() -> dict:
     if os.path.exists(p):
         return json.load(open(p)).get("queries", {})
     return {}
+
+
+def query_floors() -> tuple[str, dict[str, float], dict[str, int]]:
+    """(sha, floor_sec per query, sample count per query) from
+    BENCH/query_history.jsonl, scoped to the current ves_spark
+    revision at local[32]/sf0.1 — min-over-samples is the capacity
+    estimator (noise on this box is strictly subtractive)."""
+    sha = _paths_sha(_QUERY_PATHS)
+    p = os.path.join(REPO, "BENCH", "query_history.jsonl")
+    floors: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            for line in f:
+                s = json.loads(line)
+                if (
+                    s.get("sha") != sha
+                    or s.get("cpus") != 32
+                    or str(s.get("sf")) != "0.1"
+                ):
+                    continue
+                for k, v in s["queries"].items():
+                    counts[k] = counts.get(k, 0) + 1
+                    floors[k] = min(floors.get(k, v), v)
+    return sha, floors, counts
+
+
+def _query_floor_section(results: dict) -> str:
+    """The full per-query FLOOR table for BASELINE.md: min wall over
+    every recorded bench invocation at the current ves_spark revision
+    (query_history.jsonl), with per-query sample counts — the standard
+    the per-round driver bench is compared against. Falls back to the
+    latest single run's walls for queries with no history yet."""
+    sha, floors, counts = query_floors()
+    latest = results.get(32, {}).get("queries") or _latest_bench_queries()
+    names = sorted(set(floors) | set(latest))
+    rows_md = "".join(
+        f"| {k} | {floors.get(k, latest.get(k))} | {counts.get(k, 0)} |\n"
+        for k in names
+    )
+    return f"""## Per-query floors at local[32] (sf0.1 testdata)
+
+Floor = best wall over every recorded `bench.py` invocation at the
+current ves_spark revision `{sha}` (`BENCH/query_history.jsonl`; any
+commit touching ves_spark/ starts a fresh pool, so a per-operator
+regression cannot hide behind an older floor). Queries with 0 samples
+show the latest single-run wall instead.
+
+| query | floor (s) | samples at `{sha}` |
+|---|---|---|
+{rows_md}"""
 
 
 def main() -> None:
@@ -446,17 +503,7 @@ sha-tagged in `BENCH/*.jsonl`. For the round-3 end-to-end wall
 "regression" bisect (executed code byte-identical across rounds — the
 delta was the host), see `BENCH/REGRESSION_r3.md`.
 
-## Per-query walls at local[32] (sf0.1 testdata)
-
-| query | sec |
-|---|---|
-""" + "".join(
-        f"| {k} | {v} |\n"
-        for k, v in (
-            results.get(32, {}).get("queries")
-            or _latest_bench_queries()
-        ).items()
-    ) + f"""
+{_query_floor_section(results)}
 ## Reproduce
 
 ```bash

@@ -90,6 +90,42 @@ def _record_pipeline_wall(pipe: dict, cpus: int, n_rows: int) -> dict:
     return {"sha": sha, "best_wall_at_sha": round(best, 3), "samples_at_sha": n}
 
 
+def _record_query_walls(queries: dict, sha: str, cpus: int, sf: str) -> None:
+    """Append this invocation's per-query walls to the sha-scoped
+    history (BENCH/query_history.jsonl). The per-query FLOORS in
+    BENCH/BASELINE.md are min-over-history at the current sha — a
+    single noisy invocation is never the number of record for any
+    query (same estimator rationale as the pipeline wall)."""
+    from datetime import datetime, timezone
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "BENCH"))
+    try:
+        from run_scaling import _QUERY_PATHS, _paths_sha
+
+        sha = _paths_sha(_QUERY_PATHS)
+    except Exception:
+        pass  # fall back to the caller-provided pipeline sha
+    try:
+        with open(os.path.join(repo, "BENCH", "query_history.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+                        "sha": sha,
+                        "cpus": cpus,
+                        "sf": sf,
+                        "queries": {
+                            k: v for k, v in queries.items() if isinstance(v, float)
+                        },
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
+
+
 def _bench_input(n_rows: int) -> str:
     """Synthesize (or reuse) the benchmark token table."""
     from ves_spark.synth import write_fixture
@@ -203,6 +239,24 @@ def main() -> None:
 
     fix_dir = _bench_input(n_rows)
 
+    # Same warm protocol as the recorded floors (BENCH/run_scaling.py):
+    # gate on an idle CPU sample (stray background load flips walls by
+    # >2x on this shared VM) and pre-fault a page arena so the JVM
+    # recycles host-backed pages instead of first-touch-faulting at
+    # ~6 MB/s/thread mid-run. Opt out with VES_BENCH_NO_PREWARM=1.
+    if not os.environ.get("VES_BENCH_NO_PREWARM"):
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+            )
+            from prewarm import prewarm
+            from run_scaling import wait_idle
+
+            wait_idle(max_busy=0.10, timeout_s=120)
+            prewarm(12)
+        except Exception:
+            pass  # measurement hygiene, never a failure
+
     # 16g heap, pre-touched: this sandbox VM serves first-touch page
     # faults lazily (~6 MB/s per thread), so an un-pretouched big heap
     # degrades GC pauses into page-fault storms mid-run (measured
@@ -226,6 +280,7 @@ def main() -> None:
     spark.stop()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    _record_query_walls(queries, hist["sha"], cpus, sf)
     result = {
         "metric": "end-to-end parse->enrich->route->aggregate wall (also M seq/sec)",
         "value": pipe["pipeline_wall_sec"],
@@ -245,6 +300,12 @@ def main() -> None:
         "pipeline_wall_samples_at_sha": hist["samples_at_sha"],
         "engine_sha": hist["sha"],
     }
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo, "BENCH", "latest_bench.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(result))
 
 
