@@ -251,3 +251,33 @@ def test_stream_dedup_redelivered_microbatches_match_batch(spark, tmp_path):
         assert (
             t.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
         )
+
+
+# ------------------------------------- k-means centroid training edges
+def test_kmeans_training_deterministic_and_empty_cluster_kept(spark):
+    """Two identical corpus vectors seed two centroids; every member
+    ties to the smaller cent_id, so the other cluster goes EMPTY and
+    must keep its previous centroid (the oracle's LEFT JOIN+COALESCE
+    rule). Training twice must give bit-identical centroids."""
+    from ves_spark.operators.similarity import train_kmeans_centroids
+
+    dim = 8
+    v_a = [1.0] + [0.0] * (dim - 1)
+    v_b = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(1, v_a), (2, v_a), (3, v_b), (4, v_b)]
+    corpus = spark.createDataFrame(rows, "c_id long, c_vec array<float>")
+
+    c1 = train_kmeans_centroids(corpus, k=4, iters=2, dim=dim)
+    c2 = train_kmeans_centroids(corpus, k=4, iters=2, dim=dim)
+    assert c1 == c2, "training is not deterministic"
+
+    cents = dict(c1)
+    assert set(cents) == {1, 2, 3, 4}
+    # each duplicate pair collapses onto the smaller cent_id; the
+    # larger one is empty and keeps its seed vector exactly
+    assert cents[2] == [float(x) for x in v_a]
+    assert cents[4] == [float(x) for x in v_b]
+    # the winners hold the (quantized) mean of their two members —
+    # identical vectors, so the mean equals the vector within 2^-20
+    assert abs(cents[1][0] - 1.0) <= 2**-20 and cents[1][1] == 0.0
+    assert abs(cents[3][1] - 1.0) <= 2**-20 and cents[3][0] == 0.0
