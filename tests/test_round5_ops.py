@@ -1,0 +1,164 @@
+"""Round-5 operator tests: PII redaction, SemDeDup semantic dedup,
+bloom-filter incremental dedup (with a DuckDB anti-join oracle)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# =====================================================================
+# PII redaction
+# =====================================================================
+
+
+def test_pii_features_planted(spark):
+    from ves_spark.operators.text import pii_features
+
+    rows = [
+        (1, "reach me at alice.smith+x@mail-host.org or bob@x.io today"),
+        (2, "server 10.0.42.7 and 192.168.1.200 are down"),
+        (3, "call +123-456-7890 or 555 867 5309 now"),
+        (4, "no pii here at all"),
+        (5, "mixed: a@b.co from 8.8.8.8 dial 111-222-3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_features(df, "text").collect()}
+
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+    assert "<EMAIL>" in out[1]["redacted"] and "@" not in out[1]["redacted"]
+    assert (out[2]["n_emails"], out[2]["n_ipv4"]) == (0, 2)
+    assert out[2]["redacted"] == "server <IP> and <IP> are down"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[4]["redacted"] == out[4]["text"]
+    assert (out[5]["n_emails"], out[5]["n_ipv4"], out[5]["n_phones"]) == (1, 1, 1)
+
+
+def test_pii_counts_are_pipeline_consistent(spark):
+    """An email's or IP's digits must never double-count as a phone:
+    each detector runs on the PREVIOUS stage's redacted text."""
+    from ves_spark.operators.text import pii_features
+
+    df = spark.createDataFrame(
+        [(1, "ip 100.200.300.400 looks phone-ish 100-200-3004")],
+        "doc_id long, text string",
+    )
+    r = pii_features(df, "text").collect()[0]
+    # the IP is consumed by the IP stage; only the true phone remains
+    assert r["n_ipv4"] == 1
+    assert r["n_phones"] == 1
+    assert r["redacted"] == "ip <IP> looks phone-ish <PHONE>"
+
+
+# =====================================================================
+# SemDeDup semantic dedup
+# =====================================================================
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    from ves_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    base = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    # planted near-dups: copy with the last component zeroed, id + 1e6
+    mutated = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("c_id"),
+        F.concat(
+            F.slice(F.col("embedding"), 1, 63),
+            F.array(F.lit(0.0).cast("float")),
+        ).alias("c_vec"),
+    )
+    corpus = base.unionAll(mutated)
+    n_base = base.count()
+    n_mut = mutated.count()
+
+    kept = semantic_dedup(corpus, threshold=0.9, n_cents=16, train_iters=1)
+    kept_ids = {r["c_id"] for r in kept.collect()}
+
+    # the synth embeddings have no natural near-dups (max pairwise
+    # cosine ~0.51), so every base vector survives ...
+    assert all(i in kept_ids for i in range(n_base))
+    # ... and nearly every planted copy is dropped (a copy escapes
+    # only if it straddles a cluster boundary from its original)
+    dropped = n_base + n_mut - len(kept_ids)
+    assert dropped >= 0.9 * n_mut
+    # survivors all carry a cluster assignment column
+    assert kept.columns == ["c_id", "cent_id"]
+
+
+def test_semantic_dedup_deterministic(spark):
+    from ves_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).limit(100)
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    a = sorted(map(tuple, semantic_dedup(corpus, n_cents=8, train_iters=1).collect()))
+    b = sorted(map(tuple, semantic_dedup(corpus, n_cents=8, train_iters=1).collect()))
+    assert a == b and len(a) > 0
+
+
+# =====================================================================
+# Bloom-filter incremental dedup
+# =====================================================================
+
+
+def test_bloom_bitmap_no_false_negatives(spark):
+    from ves_spark.operators.bloom import _might_contain_udf, build_bloom_bitmap
+
+    df = spark.range(0, 5000).select(F.xxhash64(F.col("id").cast("string")).alias("h"))
+    m_bits, k = 1 << 17, 7
+    bloom = build_bloom_bitmap(df, m_bits, k)
+    probe = _might_contain_udf(bloom, m_bits, k)
+    miss = df.filter(~probe(F.col("h"))).count()
+    assert miss == 0  # inserted keys always probe positive
+
+
+def test_bloom_fp_rate_bounded(spark):
+    from ves_spark.operators.bloom import _might_contain_udf, build_bloom_bitmap
+
+    ins = spark.range(0, 5000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h")
+    )
+    m_bits, k = 1 << 17, 7  # ~26 bits/key -> fp well under 1e-3
+    bloom = build_bloom_bitmap(ins, m_bits, k)
+    probe = _might_contain_udf(bloom, m_bits, k)
+    other = spark.range(1_000_000, 1_020_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h")
+    )
+    fp = other.filter(probe(F.col("h"))).count()
+    assert fp / 20_000 < 0.01
+
+
+def test_dedup_against_history_matches_antijoin_oracle(spark):
+    from ves_spark.operators.bloom import dedup_against_history
+
+    docs = os.path.join(SF_DIR, "documents.parquet")
+    d = spark.read.parquet(docs)
+    hist = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    new = d.select("doc_id", "text")  # every 3rd is a redelivery
+
+    kept = dedup_against_history(new, hist).select("doc_id").toPandas()
+    expect = duckdb.sql(
+        f"""
+        SELECT doc_id FROM '{docs}'
+        WHERE text NOT IN (SELECT text FROM '{docs}' WHERE doc_id % 3 = 0)
+        """
+    ).df()
+    assert sorted(kept["doc_id"]) == sorted(expect["doc_id"])
+    assert len(kept) > 0 and len(kept) < new.count()
+
+
+def test_dedup_against_empty_history_keeps_all(spark):
+    from ves_spark.operators.bloom import dedup_against_history
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    hist = d.filter(F.lit(False))
+    assert dedup_against_history(d, hist).count() == d.count()

@@ -431,3 +431,69 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cents: int = 32,
+    train_iters: int = 2,
+    dim: int = 64,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only — the cluster bound is
+    what makes embedding dedup tractable at corpus scale (the pair
+    space shrinks from n^2 to sum over clusters of n_c^2, and a pair
+    of semantic dups lands in the same cluster with high probability
+    because both sit near the same centroid).
+
+    Keep rule (deterministic, cross-engine): a document is DROPPED iff
+    some same-cluster partner with a SMALLER id has cosine >=
+    ``threshold`` to it — greedy keep-lowest-id, applied in one pass
+    (a dropped doc still shadows its own higher-id neighbors; the rule
+    is "exists smaller near-neighbor", not transitive closure — that
+    clustering variant is ``connected_components`` over the pair
+    graph, already available for the exact-dup family).
+
+    Scale shape: centroids come from ``train_kmeans_centroids``
+    (broadcast literals, exactly replayable by an oracle); assignment
+    is one map-side broadcast crossJoin over k centroids; the
+    within-cluster pair generation is an equi-join on ``cent_id`` —
+    the shuffle key is one small int, never an all-pairs product, and
+    AQE's skew split handles an oversized cluster. Returns the KEPT
+    rows as (c_id, cent_id)."""
+    trained = train_kmeans_centroids(
+        corpus, k=n_cents, iters=train_iters, dim=dim, c_id=c_id, c_vec=c_vec
+    )
+    cents = corpus.sparkSession.createDataFrame(
+        trained, "cent_id long, cent_vec array<double>"
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        c_id,
+        c_vec,
+        "cent_id",
+        cosine(F.col(c_vec), F.col("cent_vec")).alias("_ccos"),
+    )
+    w = W.partitionBy(c_id).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(c_id, c_vec, "cent_id")
+    )
+    a = assign.select(
+        F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"), "cent_id"
+    )
+    b = assign.select(
+        F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"), "cent_id"
+    )
+    dropped = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_b").alias(c_id))
+        .distinct()
+    )
+    return assign.join(dropped, c_id, "left_anti").select(c_id, "cent_id")

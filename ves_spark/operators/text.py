@@ -204,3 +204,46 @@ def fingerprint(col: Column) -> Column:
             acc * FP_BASE + F.pmod(F.xxhash64(w), F.lit(FP_MOD))
         ) % FP_MOD,
     )
+
+
+# =====================================================================
+# PII redaction
+# =====================================================================
+
+# Patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# \b word boundaries — no backrefs, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_features(df: DataFrame, text_col: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing stage every
+    training-data pipeline runs before tokenization (emails, IPv4
+    addresses, phone numbers → typed placeholders).
+
+    The three redactions are applied as a fixed pipeline (email → ip
+    → phone) and each detector COUNTS on the output of the previous
+    stage, so counts and the final redacted text are one consistent
+    story (an email's digits can never double-count as a phone).
+
+    Scale shape: pure JVM ``regexp_replace`` / ``regexp_extract_all``
+    — map-only, codegen'd, zero shuffle; rides the scan at any scale.
+    Adds columns: n_emails, n_ipv4, n_phones, redacted."""
+    col = F.col(text_col)
+    red1 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    red2 = F.regexp_replace(red1, PII_IPV4_RE, "<IP>")
+    red3 = F.regexp_replace(red2, PII_PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0))
+        )
+        .withColumn(
+            "n_ipv4", F.size(F.regexp_extract_all(red1, F.lit(PII_IPV4_RE), 0))
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(red2, F.lit(PII_PHONE_RE), 0))
+        )
+        .withColumn("redacted", red3)
+    )
