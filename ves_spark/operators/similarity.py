@@ -233,6 +233,54 @@ def cosine_topk_lsh(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def _assign_nearest(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    c_id: str,
+    c_vec: str,
+) -> DataFrame:
+    """Map-side nearest-centroid assignment: the centroids are driver
+    literals (metadata-sized, broadcast-equivalent), so the argmax
+    over k cells is ONE codegen'd projection riding the scan — no
+    crossJoin, no n×k-row shuffle, no per-row window. This is the
+    100 TB shape: the previous crossJoin + row_number plan shuffled
+    k copies of every corpus row just to pick the max.
+
+    Bit-identical to the window formulation: same fold cosine per
+    centroid, and the struct max (cos, -cent_id) replicates the
+    ORDER BY cos DESC, cent_id ASC tiebreak exactly. Two
+    bit-safe factorings cut the interpreted-HOF work ~3×: the row
+    vector's norm is computed ONCE (an attribute reused in all k
+    denominators — same expression, same value) and each centroid's
+    norm is computed on the DRIVER with the identical left-to-right
+    double fold (Python += over doubles = the JVM fold = the DuckDB
+    list_sum, all IEEE-754 sequential).
+    Returns (c_id, c_vec, cent_id)."""
+    import math
+
+    def _norm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    nv = df.select(c_id, c_vec, l2_norm(F.col(c_vec)).alias("_nv"))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col(c_vec), F.array(*[F.lit(float(x)) for x in vec]))
+                    / (F.col("_nv") * F.lit(_norm(vec)))
+                ).alias("c"),
+                F.lit(-int(cid)).cast("long").alias("nid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    best = F.array_max(scored)
+    return nv.select(c_id, c_vec, (-best["nid"]).alias("cent_id"))
+
+
 def train_kmeans_centroids(
     corpus: DataFrame,
     k: int = 32,
@@ -263,10 +311,10 @@ def train_kmeans_centroids(
     Returns driver-side (cent_id, vector) literals — k·dim doubles,
     metadata-sized — so callers broadcast a literal table and oracle
     SQL can be generated against the same construction. Scale shape:
-    each iteration is one broadcast crossJoin (n×k fold-cosines,
-    map-side) + one map-side-combined groupBy with k·dim long sums;
+    each iteration is one map-side argmax projection over the k
+    centroid literals (``_assign_nearest`` — no crossJoin, no n×k
+    shuffle) + one map-side-combined groupBy with k·dim long sums;
     only k rows ever reach the driver."""
-    spark = corpus.sparkSession
     h = F.conv(
         F.substring(F.md5(F.col(c_id).cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -285,20 +333,7 @@ def train_kmeans_centroids(
     cents = [(r["cent_id"], list(r["cent_vec"])) for r in seeds.collect()]
 
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            cents, "cent_id long, cent_vec array<double>"
-        )
-        scored = corpus.crossJoin(F.broadcast(cdf)).select(
-            c_id,
-            c_vec,
-            "cent_id",
-            cosine(F.col(c_vec), F.col("cent_vec")).alias("_ccos"),
-        )
-        w = W.partitionBy(c_id).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
-        assign = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-        )
+        assign = _assign_nearest(corpus, cents, c_id, c_vec)
         stats = assign.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("_n"),
             *[
@@ -370,7 +405,10 @@ def cosine_topk_ivf(
             .drop("_rn", "_ccos")
         )
 
-    assign = nearest(corpus, c_id, c_vec, 1)          # inverted lists
+    # inverted lists: map-side argmax over the centroid literals (the
+    # big side never shuffles); the query probe set keeps the window
+    # top-n_probe (the query side is small by construction)
+    assign = _assign_nearest(corpus, trained, c_id, c_vec)
     probes = nearest(queries, q_id, q_vec, n_probe)   # query probe set
     pairs = (
         assign.join(probes, "cent_id")
@@ -468,21 +506,9 @@ def semantic_dedup(
     trained = train_kmeans_centroids(
         corpus, k=n_cents, iters=train_iters, dim=dim, c_id=c_id, c_vec=c_vec
     )
-    cents = corpus.sparkSession.createDataFrame(
-        trained, "cent_id long, cent_vec array<double>"
-    )
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
-        c_id,
-        c_vec,
-        "cent_id",
-        cosine(F.col(c_vec), F.col("cent_vec")).alias("_ccos"),
-    )
-    w = W.partitionBy(c_id).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
-    assign = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(c_id, c_vec, "cent_id")
-    )
+    # map-side argmax assignment — the corpus never shuffles here; the
+    # only exchange in the whole operator is the cent_id pair join
+    assign = _assign_nearest(corpus, trained, c_id, c_vec)
     a = assign.select(
         F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"), "cent_id"
     )
