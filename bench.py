@@ -34,7 +34,7 @@ HEADLINE_QUERIES = [
     "route_fanout",
     "time_bucket_rollup",
     "percentile_by_type",
-    "window_topk_per_group",
+    "topk_rankings",
     "json_parse_props",
     "regex_parse_docs",
 ]

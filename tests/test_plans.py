@@ -111,20 +111,49 @@ def test_vocab_topk_is_distributed_topk(spark, fixture_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_topk_rankings_keeps_both_topk_operators(spark):
+    """The fold must not cost either physical strategy: the grouped
+    leg still plans the rank-filter window (WindowGroupLimit pushdown
+    or plain Window + Filter), the global leg still plans
+    TakeOrderedAndProject — never a global single-partition sort of
+    lineitem."""
+    from ves_spark.queries import queries
+
+    df = queries()["topk_rankings"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+
+
+def test_dup_span_coverage_gram_shuffle_is_partial_aggregated(spark):
+    """ExactSubstr's only corpus-wide shuffle carries (gram hash,
+    partial count) pairs: the gram groupBy must plan a two-phase
+    HashAggregate (partial_count map-side before the exchange), and
+    gram generation is a higher-order transform inside the scan stage
+    (no Python eval operators anywhere in the plan)."""
+    from ves_spark.queries import queries
+
+    df = queries()["dup_span_coverage_docs"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ann_ivf_plan_broadcasts_centroids(spark):
-    """IVF's scale contract in the plan: the centroid table is
-    BROADCAST on both the assignment and probe sides (map-side
-    nested-loop against a tiny table, no shuffle of the corpus for
-    assignment), and the probe->list join is an equi-join on cent_id —
-    the corpus is never cross-joined against the query set."""
+    """IVF's scale contract in the plan: corpus-side nearest-centroid
+    assignment is a MAP-SIDE argmax over centroid literals (no join,
+    no n×k shuffle — `_assign_nearest`), so the only centroid
+    cross-join left is the tiny query-side probe ranking; candidate
+    generation is a cent_id equi-join (BroadcastHashJoin), never an
+    all-pairs corpus×query cross."""
     from ves_spark.queries import queries
 
     df = queries()["ann_ivf_topk"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast(cents)
-    # candidate generation is keyed on cent_id, not an all-pairs cross:
-    # exactly the two centroid cross-joins, no third
-    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # exactly ONE nested-loop remains: query set × broadcast(cents)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # probe -> inverted-list candidate join is keyed on cent_id
+    assert "BroadcastHashJoin [cent_id" in plan
     assert "cent_id" in plan
 
 
