@@ -162,3 +162,89 @@ def test_dedup_against_empty_history_keeps_all(spark):
     )
     hist = d.filter(F.lit(False))
     assert dedup_against_history(d, hist).count() == d.count()
+
+
+# =====================================================================
+# Temperature-weighted source mixing (mix_sqrt leg of sample_documents)
+# =====================================================================
+
+
+def test_mix_sqrt_matches_independent_hash_replay(spark):
+    """The mix_sqrt keep set must equal an independent hashlib-md5
+    replay of the rule: keep doc iff md5_32(doc_id) % 1e6 <
+    floor(1e6 * sqrt(n_min / n_source)) — per-source rates derived
+    from exact counts, smallest source kept whole."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from ves_spark.queries import queries
+
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    counts = docs.groupby("source").size()
+    n_min = counts.min()
+    thr = {
+        s: math.floor(1_000_000 * math.sqrt(n_min / n))
+        for s, n in counts.items()
+    }
+
+    def h32(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    expected = {
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if h32(r.doc_id) % 1_000_000 < thr[r.source]
+    }
+    got = {
+        r["doc_id"]
+        for r in queries()["sample_documents"](spark, SF_DIR)
+        .filter(F.col("strategy") == "mix_sqrt")
+        .collect()
+    }
+    assert got == expected
+    # the smallest source is kept in full (thr == 1e6)
+    smallest = counts.idxmin()
+    kept_small = docs[docs.source == smallest].doc_id.astype(int)
+    assert set(kept_small).issubset(expected | set())
+
+
+# =====================================================================
+# Deterministic global shuffle (training order)
+# =====================================================================
+
+
+def test_deterministic_shuffle_replayable_and_partition_invariant(spark):
+    from ves_spark.operators.packing import deterministic_shuffle
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+    def order_of(inp, seed):
+        out = deterministic_shuffle(inp, seed=seed, num_partitions=7)
+        return [r["doc_id"] for r in out.toLocalIterator()]
+
+    a = order_of(df, seed=1)
+    # replay: same seed -> identical permutation
+    assert order_of(df, seed=1) == a
+    # input partitioning must not matter
+    assert order_of(df.repartition(13), seed=1) == a
+    # it IS a permutation
+    assert sorted(a) == list(range(2000))
+    # a different seed gives a different (still complete) permutation
+    b = order_of(df, seed=2)
+    assert b != a and sorted(b) == list(range(2000))
+
+
+def test_deterministic_shuffle_plans_range_exchange(spark):
+    from ves_spark.operators.packing import deterministic_shuffle
+
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    plan = (
+        deterministic_shuffle(df, seed=3, num_partitions=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan

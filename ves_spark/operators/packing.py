@@ -147,3 +147,37 @@ def pack_chunks_sharded(
     return _chunk_cols(pre, capacity).withColumn(
         "shard", F.floor(F.col("tok_start") / shard_budget).cast("long")
     ).drop("_blk")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    seed: int,
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+    order_col: str = "shuffle_order",
+) -> DataFrame:
+    """Deterministic pseudo-random global training order.
+
+    Pretraining wants every epoch's document order to be (a) uniform-
+    random-looking, (b) exactly reproducible across reruns, engines,
+    and input repartitionings — properties ``rand()`` + ``orderBy``
+    cannot give. The order key is ``xxhash64(seed, key)``: change the
+    seed, get an independent permutation; keep it, replay the epoch.
+
+    Scale shape: ``repartitionByRange`` on the hash key plans a range
+    exchange with SAMPLED boundaries (no single-partition sort — the
+    100 TB trap of a bare ``orderBy`` window rank), then an in-
+    partition sort that spills. Downstream writers that consume the
+    partitions in index order see the full deterministic permutation;
+    ties are impossible short of a 64-bit hash collision on the same
+    key, and the key itself breaks those.
+    """
+    keyed = df.withColumn(
+        order_col, F.xxhash64(F.lit(int(seed)), F.col(key_col))
+    )
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    return keyed.repartitionByRange(int(parts), order_col, key_col).sortWithinPartitions(
+        order_col, key_col
+    )

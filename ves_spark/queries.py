@@ -2112,6 +2112,19 @@ def vocab_topk_words(spark, sf_dir):
                             WHEN m < 95 THEN 'val'
                             ELSE 'test' END AS strategy, doc_id, lang
     FROM (SELECT doc_id, lang, ({_DUCK_MD5_32}) % 100 AS m FROM documents) t
+    UNION ALL
+    SELECT 'mix_sqrt' AS strategy, doc_id, lang
+    FROM (
+      SELECT d.doc_id, d.lang, ({_DUCK_MD5_32}) % 1000000 AS h, r.thr
+      FROM documents d
+      JOIN (
+        SELECT source,
+               CAST(floor(1000000 * sqrt((min(cnt) OVER ()) * 1.0 / cnt))
+                    AS BIGINT) AS thr
+        FROM (SELECT source, count(*) AS cnt FROM documents GROUP BY source) c
+      ) r USING (source)
+    ) mx
+    WHERE h < thr
     """,
 )
 def sample_documents(spark, sf_dir):
@@ -2128,7 +2141,17 @@ def sample_documents(spark, sf_dir):
     * split_train/val/test — deterministic 90/5/5 holdout assignment
       by the same key hash: every doc gets exactly one split, stable
       across runs/engines/reshards (the property rand() cannot give),
-      again a pure scan-side projection with no shuffle."""
+      again a pure scan-side projection with no shuffle;
+    * mix_sqrt — temperature-weighted source mixing (alpha = 0.5):
+      per-source keep-rate sqrt(n_min/n_s) rebalances the mixture
+      toward p_s proportional to sqrt(n_s), the standard flattening
+      for over-represented pretraining sources. Rates derive from one
+      map-side-combined count per source (metadata-sized), the rate
+      table broadcast-joins back, the keep decision is the same
+      deterministic key hash — at 100 TB this is one tiny agg plus a
+      scan-side filter, no corpus shuffle. Every float step (divide,
+      sqrt, scale, floor) is a single correctly-rounded IEEE-754 op,
+      so DuckDB replays the thresholds bit-for-bit."""
     d = load(spark, sf_dir, "documents")
     hash20 = (
         d.filter(_spark_md5_32(F.col("doc_id")) % 100 < 20)
@@ -2153,7 +2176,20 @@ def sample_documents(spark, sf_dir):
         "doc_id",
         "lang",
     )
-    return hash20.unionByName(quota10).unionByName(split)
+    counts = d.groupBy("source").count()
+    rates = counts.select(
+        "source",
+        F.floor(
+            F.lit(1000000)
+            * F.sqrt(F.min("count").over(W.partitionBy()) / F.col("count"))
+        ).alias("thr"),
+    )
+    mix = (
+        d.join(F.broadcast(rates), "source")
+        .filter(_spark_md5_32(F.col("doc_id")) % 1000000 < F.col("thr"))
+        .select(F.lit("mix_sqrt").alias("strategy"), "doc_id", "lang")
+    )
+    return hash20.unionByName(quota10).unionByName(split).unionByName(mix)
 
 
 @register(
