@@ -542,3 +542,104 @@ def test_pack_chunks_sharded_skewed_source(spark):
 
     with pytest.raises(ValueError, match="shard_budget"):
         pack_chunks_sharded(df, 256, F.col("n"), 0)
+
+
+# =====================================================================
+# Native uncompressed media decode (BMP / PPM / WAV, no libraries)
+# =====================================================================
+
+
+def _encode_bmp(rgb):
+    """Minimal 24-bit BI_RGB BMP encoder (bottom-up, 4-byte padded) —
+    the inverse of _decode_bmp, written independently from the spec."""
+    import struct
+
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[r].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + info + body
+
+
+def _encode_ppm(rgb):
+    h, w = rgb.shape[:2]
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def _encode_wav(samples_le16: bytes):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples_le16)) + samples_le16
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_native_bmp_ppm_wav_decode_roundtrip():
+    import numpy as np
+
+    from ves_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # w=3 -> padded rows
+    assert decode_media(_encode_bmp(rgb)) == rgb.tobytes()
+    assert decode_media(_encode_ppm(rgb)) == rgb.tobytes()
+    pcm = rng.integers(0, 256, size=202, dtype=np.uint8).tobytes()
+    assert decode_media(_encode_wav(pcm)) == pcm
+    # unknown magic falls through to the Pillow seam
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\x89PNG....")
+
+
+def test_multimodal_real_mode_decodes_natively(spark):
+    """End-to-end real mode through mapInPandas: BMP/PPM/WAV payloads
+    decode without any media library, and the checksum/features are
+    computed over the DECODED bytes (not the container bytes)."""
+    import numpy as np
+
+    from ves_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    pcm = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+    rows = [
+        ("bmp-1", "image", _encode_bmp(rgb), (5, 4, None, None)),
+        ("ppm-1", "image", _encode_ppm(rgb), (5, 4, None, None)),
+        ("wav-1", "audio", _encode_wav(pcm), (None, None, 16000, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in extract_features(df, decode_mode="real").collect()
+    }
+    raw = rgb.tobytes()
+    want_img = int(sum(raw)) % 1_000_000_007
+    assert out["bmp-1"]["checksum"] == want_img
+    assert out["ppm-1"]["checksum"] == want_img
+    # identical decoded pixels -> identical features, any container
+    assert out["bmp-1"]["feat"] == out["ppm-1"]["feat"]
+    assert out["wav-1"]["checksum"] == int(sum(pcm)) % 1_000_000_007
+
+
+def test_resize_nearest_shape_and_identity():
+    import numpy as np
+
+    from ves_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    # identity resize returns the same pixels
+    assert (resize_nearest(rgb, 8, 6) == rgb).all()
+    small = resize_nearest(rgb, 4, 3)
+    assert small.shape == (4, 3, 3)
+    # 2x downscale picks the centered source sample
+    assert (small == rgb[1::2][:, 1::2]).all()

@@ -3,11 +3,13 @@ columns with typed metadata, processed by Arrow-batched kernels over
 ``mapInPandas``.
 
 The Spark-side contract (schemas, partitioning, batch iteration, UDF
-signatures) is real and tested; the actual codec step is stubbed —
-this container has no image/audio libraries — behind
-``_decode_image_real`` which raises ``NotImplementedError`` unless
-Pillow is importable, with a deterministic fake
-(``decode_mode='fake'``) used by tests and fixtures.
+signatures) is real and tested. Decoding: UNCOMPRESSED public formats
+(24-bit BMP, binary PPM/P6, PCM WAV) are decoded natively in
+pure struct/numpy (``decode_media`` — no media libraries needed);
+compressed codecs (JPEG/PNG/…) sit behind ``_decode_image_real``,
+which raises ``NotImplementedError`` unless Pillow is importable
+(this container has none). A deterministic fake
+(``decode_mode='fake'``) exercises the plumbing in fixtures.
 
 At scale: media bytes dominate row size, so operators here (a) never
 shuffle the binary column — feature extraction happens map-side in the
@@ -60,15 +62,115 @@ except ImportError:
 
 
 def _decode_image_real(payload: bytes) -> bytes:
-    """Real codec path — requires Pillow (absent here by design).
-    Contract: payload bytes -> decoded raw bytes (pixel buffer); the
-    vectorized feature math downstream is codec-agnostic."""
+    """Compressed-codec path — requires Pillow (absent here by
+    design). Contract: payload bytes -> decoded raw bytes (pixel
+    buffer); the vectorized feature math downstream is
+    codec-agnostic."""
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires Pillow; this environment stubs it — "
-            "use decode_mode='fake' or pass decode_fn"
+            "compressed image decode (JPEG/PNG/…) requires Pillow; this "
+            "environment stubs it — uncompressed BMP/PPM/WAV decode via "
+            "decode_media needs no libraries"
         )
     raise NotImplementedError("wire PIL.Image.open here when available")
+
+
+def _decode_bmp(payload: bytes) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP -> raw BGR bytes, top-down
+    row-major. Pure struct/numpy parse of the public BITMAPINFOHEADER
+    layout; rows are 4-byte padded and stored bottom-up when height is
+    positive."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decoded natively (bpp={bpp}, "
+            f"compression={compression}); others need Pillow"
+        )
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+    rows = px.reshape(h, stride)[:, : width * 3]
+    if bottom_up:
+        rows = rows[::-1]
+    return rows.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> bytes:
+    """Binary PPM (P6, maxval <= 255) -> raw RGB bytes. The header is
+    ASCII tokens (magic, width, height, maxval) with '#' comments,
+    then a single whitespace byte, then the pixel block."""
+    pos = 2  # past b"P6"
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not decoded natively")
+    return payload[pos : pos + w * h * 3]
+
+
+def _decode_wav(payload: bytes) -> bytes:
+    """RIFF/WAVE PCM -> raw sample bytes from the 'data' chunk (chunk
+    walk per the public RIFF layout; fmt is not re-encoded — features
+    downstream are byte-level)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
+
+
+def decode_media(payload: bytes) -> bytes:
+    """Real decode for uncompressed public formats — no libraries
+    needed: 24-bit BMP, binary PPM (P6), PCM WAV. Compressed codecs
+    (JPEG/PNG/FLAC/…) fall through to the Pillow seam. This is the
+    default ``decode_fn`` for ``decode_mode='real'``."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    return _decode_image_real(payload)
+
+
+def resize_nearest(rgb, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, c) uint8 array — one fancy
+    index gather, fully vectorized (the classic sample-grid formula
+    floor((i + 0.5) * h / out_h))."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    ri = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    ci = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return rgb[ri[:, None], ci[None, :]]
 
 
 def extract_features(
@@ -82,9 +184,9 @@ def extract_features(
     without codecs.
 
     real mode: each payload is decoded by ``decode_fn`` (default
-    ``_decode_image_real``, which needs Pillow) — ``bytes -> raw
-    decoded bytes``; injecting a toy codec makes the real path
-    testable without media libraries.
+    ``decode_media`` — native uncompressed BMP/PPM/WAV decode, Pillow
+    seam for compressed codecs) — ``bytes -> raw decoded bytes``;
+    injecting a toy codec also works for tests.
 
     Only the codec call is per-item (inherently so). The checksum /
     byte-histogram math is batch-vectorized: one concatenated buffer,
@@ -100,7 +202,7 @@ def extract_features(
             payloads = pdf["payload"]
             n_bytes = payloads.map(len).astype("int64")
             if decode_mode == "real":
-                fn = decode_fn or _decode_image_real
+                fn = decode_fn or decode_media
                 decoded = [
                     np.frombuffer(fn(bytes(p)), dtype=np.uint8) for p in payloads
                 ]
