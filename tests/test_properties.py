@@ -117,3 +117,57 @@ def test_merge_sessions_batch_split_invariant(ev, cuts, gap):
     assert en_.tolist() == one_shot[1].tolist()
     assert nn_.tolist() == one_shot[2].tolist()
     assert int(nn_.sum()) == len(ev)
+
+
+# =====================================================================
+# Exact-substring dedup vs a naive O(n * len^2) reference
+# =====================================================================
+
+
+def _naive_dup_coverage(arrays, k, min_count=2):
+    """Independent scalar reference for duplicate_span_coverage: count
+    every k-gram tuple globally, mark hit positions, merge intervals,
+    sum coverage."""
+    from collections import Counter
+
+    grams = Counter()
+    for a in arrays:
+        for i in range(len(a) - k + 1):
+            grams[tuple(a[i : i + k])] += 1
+    out = {}
+    for idx, a in enumerate(arrays):
+        covered = set()
+        spans = []
+        for i in range(len(a) - k + 1):
+            if grams[tuple(a[i : i + k])] >= min_count:
+                covered.update(range(i, i + k))
+        if covered:
+            pos = sorted(covered)
+            n_spans = 1 + sum(
+                1 for x, y in zip(pos, pos[1:]) if y > x + 1
+            )
+            out[idx] = (len(a), n_spans, len(covered))
+    return out
+
+
+# small token domain so duplicate k-grams actually occur
+dup_arrays = st.lists(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=24),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(arrays=dup_arrays, k=st.integers(min_value=2, max_value=4))
+def test_dup_span_coverage_matches_naive(spark, arrays, k):
+    from ves_spark.operators.token_dedup import duplicate_span_coverage
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "doc_id long, tokens array<int>"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_spans"], r["dup_tokens"])
+        for r in duplicate_span_coverage(df, k=k).collect()
+    }
+    assert got == _naive_dup_coverage(arrays, k)
