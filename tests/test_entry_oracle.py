@@ -105,7 +105,7 @@ def test_query_matches_oracle(spark, name):
     "name",
     [
         "semi_anti_join_customers",
-        "set_ops_users",
+        "user_set_summary",
         "scalar_subquery_outliers",
         "dup_span_coverage_docs",
     ],

@@ -248,3 +248,57 @@ def test_deterministic_shuffle_plans_range_exchange(spark):
     )
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+# =====================================================================
+# Character-bigram LM fluency filter
+# =====================================================================
+
+
+def test_lm_fluency_matches_scalar_reference(spark):
+    """Tiny corpus where the smoothed bigram model is computable by
+    hand (scalar replay with the same quantization)."""
+    import math
+    from collections import Counter
+
+    rows = [(1, "ababab"), (2, "abq"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from ves_spark.operators.text import lm_fluency
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in lm_fluency(df, "text", "doc_id").collect()
+    }
+
+    grams = Counter()
+    for _, t in rows:
+        for i in range(len(t) - 1):
+            grams[t[i : i + 2]] += 1
+    pre = Counter()
+    for g, c in grams.items():
+        pre[g[0]] += c
+    q = {
+        g: math.floor((c + 1.0) / (pre[g[0]] + 96.0) * (1 << 30))
+        for g, c in grams.items()
+    }
+
+    def score(t):
+        qs = [q[t[i : i + 2]] for i in range(len(t) - 1)]
+        return round(sum(qs) / (len(qs) * float(1 << 30)), 6)
+
+    assert got[1] == (5, score("ababab"))
+    assert got[2] == (2, score("abq"))
+    assert 3 not in got  # below two chars -> no bigrams, no row
+    # the repetitive doc's transitions are all high-count -> higher
+    # fluency than the doc ending in the rare 'bq' transition
+    assert got[1][1] > got[2][1]
+
+
+def test_lm_fluency_plan_broadcasts_model_no_python(spark):
+    from ves_spark.queries import queries
+
+    df = queries()["lm_fluency_docs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -247,3 +247,70 @@ def pii_features(df: DataFrame, text_col: str) -> DataFrame:
         )
         .withColumn("redacted", red3)
     )
+
+
+def char_bigrams(col_name: str) -> Column:
+    """Array of character bigrams of a string column (empty below two
+    chars) — a JVM higher-order transform riding the scan, no explode
+    yet."""
+    return F.expr(
+        f"CASE WHEN char_length({col_name}) >= 2 THEN "
+        f"transform(sequence(1, char_length({col_name}) - 1), "
+        f"i -> substring({col_name}, i, 2)) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def lm_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smooth_v: int = 96,
+    quant: int = 1 << 30,
+) -> DataFrame:
+    """Character-bigram language-model fluency score per document —
+    the CCNet-style LM quality filter, self-trained on the scored
+    corpus (no external model): score = mean over positions of the
+    add-one-smoothed transition probability
+    ``(count(bigram) + 1) / (count(prefix char) + smooth_v)``.
+
+    Gibberish (rare transitions) scores low, fluent text scores high;
+    threshold on ``lm_score`` exactly like a perplexity cut (the
+    classic mean-log-prob variant is monotone-equivalent for ranking
+    but needs ln(), whose last-ulp varies across libm builds — this
+    formulation uses ONLY correctly-rounded IEEE-754 ops, so any
+    engine reproduces it bit-for-bit: probabilities are one double
+    division each, scaled by an exact power-of-two and floored to
+    longs so the per-doc mean is an order-independent integer sum).
+
+    100 TB shape: the model is one map-side-combined groupBy over a
+    bounded key space (char-pair grams), broadcast back; doc scoring
+    explodes bigrams map-side, joins the broadcast model, and the
+    per-doc mean partial-aggregates before its only shuffle."""
+    toks = df.select(id_col, F.explode(char_bigrams(text_col)).alias("bg"))
+    model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = model.groupBy(F.substring("bg", 1, 1).alias("pc")).agg(
+        F.sum("c_bg").alias("c_pre")
+    )
+    model = model.join(
+        F.broadcast(prefix), F.substring(model["bg"], 1, 1) == prefix["pc"]
+    ).select("bg", "c_bg", "c_pre")
+    # p is one correctly-rounded division; * quant is an exact
+    # exponent shift; floor is exact -> the long sum is engine-free.
+    q = F.floor(
+        (F.col("c_bg") + F.lit(1).cast("double"))
+        / (F.col("c_pre") + F.lit(float(smooth_v)))
+        * F.lit(float(quant))
+    )
+    scored = toks.join(F.broadcast(model.withColumn("_q", q)), "bg")
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_q").alias("_s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.col("_s") / (F.col("n_bigrams") * F.lit(float(quant))), 6
+            ).alias("lm_score"),
+        )
+    )
