@@ -302,3 +302,71 @@ def test_lm_fluency_plan_broadcasts_model_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# =====================================================================
+# Bucketized range (interval) join
+# =====================================================================
+
+
+def _naive_range_join(points, intervals):
+    """Reference: theta-join by nested loops in Python."""
+    out = []
+    for pid, p in points:
+        for iid, s, e in intervals:
+            if s <= p < e:
+                out.append((pid, iid))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("bucket_width", [1.0, 2.0, 7.5])
+def test_bucketed_range_join_matches_naive(spark, bucket_width):
+    """Boundary geometry: point == start included, point == end
+    excluded, intervals spanning several buckets, empty and negative
+    intervals, points/intervals in negative coordinates."""
+    from ves_spark.operators.joins import bucketed_range_join
+
+    points = [(1, 0.0), (2, 5.0), (3, 5.5), (4, 10.0), (5, -3.0), (6, 19.99)]
+    intervals = [
+        (10, 0.0, 5.0),    # point 2 at e -> excluded; point 1 at s -> in
+        (11, 5.0, 5.5),    # sub-bucket sliver
+        (12, -4.0, 21.0),  # spans many buckets, negative start
+        (13, 7.0, 7.0),    # empty (e == s) -> no matches
+        (14, 9.0, 3.0),    # inverted (e < s) -> no matches
+        (15, 19.5, 20.5),  # catches 19.99
+    ]
+    p_df = spark.createDataFrame(points, "pid long, p double")
+    i_df = spark.createDataFrame(intervals, "iid long, s double, e double")
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(
+            p_df, i_df, "p", "s", "e", bucket_width
+        ).collect()
+    )
+    assert got == _naive_range_join(points, intervals)
+
+
+def test_bucketed_range_join_no_duplicate_pairs(spark):
+    """An interval replicated into k buckets must still yield each
+    matching (point, interval) pair exactly once."""
+    from ves_spark.operators.joins import bucketed_range_join
+
+    p_df = spark.createDataFrame([(1, 50.0)], "pid long, p double")
+    i_df = spark.createDataFrame([(9, 0.0, 100.0)], "iid long, s double, e double")
+    rows = bucketed_range_join(p_df, i_df, "p", "s", "e", 10.0).collect()
+    assert len(rows) == 1
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The whole point of the operator: an equi-join on the bucket id,
+    never BroadcastNestedLoopJoin / CartesianProduct."""
+    from ves_spark.queries import queries
+
+    df = queries()["range_join_ship_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

@@ -198,18 +198,32 @@ def semi_anti_join_customers(spark, sf_dir):
 
 
 @register(
-    "left_join_default",
+    "left_join_having_summary",
     """
-    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
-           count(*) AS cnt, round(sum(o.o_totalprice), 2) AS total
+    SELECT 'seg:' || coalesce(c.c_mktsegment, 'UNKNOWN') AS scope,
+           CAST(0 AS BIGINT) AS key_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(o.o_totalprice), 2) AS total
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY coalesce(c.c_mktsegment, 'UNKNOWN')
+    UNION ALL
+    SELECT 'supp' AS scope, l_suppkey AS key_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 100 AND sum(l_extendedprice) > 1000000
     """,
 )
-def left_join_default(spark, sf_dir):
+def left_join_having_summary(spark, sf_dir):
+    """LEFT OUTER join with a coalesce default UNION ALL a HAVING
+    post-aggregation filter, marked by ``scope`` — merged to keep the
+    registry within the driver's 50-query cap while both operator
+    families stay individually driver-checked (registry fold #5,
+    freeing the slot ``range_join_ship_orders`` now occupies)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    return (
+    left = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
         .withColumn("segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")))
         .groupBy("segment")
@@ -217,7 +231,30 @@ def left_join_default(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+        .select(
+            F.concat(F.lit("seg:"), F.col("segment")).alias("scope"),
+            F.lit(0).cast("long").alias("key_id"),
+            "cnt",
+            "total",
+        )
     )
+    li = load(spark, sf_dir, "lineitem")
+    having = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.sum("l_extendedprice").alias("_raw"),
+        )
+        .filter((F.col("cnt") > 100) & (F.col("_raw") > 1000000))
+        .select(
+            F.lit("supp").alias("scope"),
+            F.col("l_suppkey").alias("key_id"),
+            "cnt",
+            "total",
+        )
+    )
+    return left.unionByName(having)
 
 
 @register(
@@ -1751,6 +1788,63 @@ def asof_join_last_order(spark, sf_dir):
 
 
 @register(
+    "range_join_ship_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS DOUBLE) AS s
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), l AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                  AS DOUBLE) AS p,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM o JOIN l ON l.p >= o.s AND l.p < o.s + 2
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_ship_orders(spark, sf_dir):
+    """Range (interval) join, the companion custom join to the as-of
+    join above: lineitems whose ship day falls in each urgent order's
+    half-open 2-day window ``[o_orderdate, o_orderdate + 2d)`` — NO
+    key equi-condition exists, so naive Spark plans a
+    BroadcastNestedLoopJoin / cartesian. ``bucketed_range_join``
+    turns it into a hash equi-join on quantized day buckets with an
+    exact post-filter (plan-asserted nested-loop-free in
+    tests/test_round5_ops.py). Day arithmetic is integer datediff on
+    both engines, so the oracle replays exactly."""
+    from ves_spark.operators.joins import bucketed_range_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("double")
+            .alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.lit(2.0))
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch)
+        .cast("double")
+        .alias("p"),
+        "l_quantity",
+    )
+    joined = bucketed_range_join(l, o, "p", "s", "e", bucket_width=2.0)
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
     "sessionization",
     """
     WITH lagged AS (
@@ -1974,29 +2068,6 @@ def scalar_subquery_outliers(spark, sf_dir):
         FROM orders_v
         WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders_v)
         """
-    )
-
-
-@register(
-    "having_filter",
-    """
-    SELECT l_suppkey, count(*) AS n, round(sum(l_extendedprice), 2) AS total
-    FROM lineitem
-    GROUP BY l_suppkey
-    HAVING count(*) > 100 AND sum(l_extendedprice) > 1000000
-    """,
-)
-def having_filter(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
-            F.sum("l_extendedprice").alias("_raw"),
-        )
-        .filter((F.col("n") > 100) & (F.col("_raw") > 1000000))
-        .drop("_raw")
     )
 
 
