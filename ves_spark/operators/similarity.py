@@ -264,21 +264,41 @@ def _assign_nearest(
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
+    # The whole k-way argmax is ONE generated SQL string -> one py4j
+    # round trip. The naive Column construction made ~k*dim F.lit()
+    # py4j calls (2048 for k=32, dim=64), costing seconds of pure
+    # driver time per invocation. `CAST('<repr>' AS DOUBLE)` is the
+    # correctly-rounded string->double conversion of Python's
+    # round-trip repr, so every literal is the same double F.lit()
+    # produced — results stay bit-identical (oracle-asserted).
     nv = df.select(c_id, c_vec, l2_norm(F.col(c_vec)).alias("_nv"))
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col(c_vec), F.array(*[F.lit(float(x)) for x in vec]))
-                    / (F.col("_nv") * F.lit(_norm(vec)))
-                ).alias("c"),
-                F.lit(-int(cid)).cast("long").alias("nid"),
-            )
-            for cid, vec in cents
-        ]
+    structs = ", ".join(
+        "named_struct('c', "
+        + _dot_literal_sql(c_vec, vec)
+        + f" / (_nv * {_dlit(_norm(vec))}), "
+        + f"'nid', CAST({-int(cid)} AS BIGINT))"
+        for cid, vec in cents
     )
-    best = F.array_max(scored)
+    best = F.expr(f"array_max(array({structs}))")
     return nv.select(c_id, c_vec, (-best["nid"]).alias("cent_id"))
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal: repr round-trips, CAST is correctly
+    rounded -> the same double bits as ``F.lit(float(x))``."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_literal_sql(vec_col: str, vec: list[float]) -> str:
+    """SQL text of ``dot(col, literal_vec)`` — the identical
+    sequential zip_with/aggregate fold as :func:`dot`, with the
+    vector inlined as exact double literals."""
+    arr = ", ".join(_dlit(x) for x in vec)
+    return (
+        f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
 
 
 def train_kmeans_centroids(
@@ -318,12 +338,17 @@ def train_kmeans_centroids(
     h = F.conv(
         F.substring(F.md5(F.col(c_id).cast("string")), 1, 8), 16, 10
     ).cast("long")
+    # Single generated-SQL projections/aggregates throughout: the
+    # per-dimension Column constructions were ~4*dim py4j calls each,
+    # dominating training wall on the driver (values unchanged —
+    # identical expressions, parsed instead of built node-by-node).
+    cast_arr = ", ".join(
+        f"CAST(`{c_vec}`[{d}] AS DOUBLE)" for d in range(dim)
+    )
     seeds = (
         corpus.select(
             F.col(c_id).alias("cent_id"),
-            F.array(
-                *[F.col(c_vec)[d].cast("double") for d in range(dim)]
-            ).alias("cent_vec"),
+            F.expr(f"array({cast_arr})").alias("cent_vec"),
             h.alias("_h"),
         )
         .orderBy("_h", "cent_id")  # TakeOrdered: distributed top-k
@@ -332,20 +357,22 @@ def train_kmeans_centroids(
     )
     cents = [(r["cent_id"], list(r["cent_vec"])) for r in seeds.collect()]
 
+    sum_struct = F.expr(
+        "named_struct('n', count(1), "
+        + ", ".join(
+            f"'s{d}', sum(floor(CAST(`{c_vec}`[{d}] AS DOUBLE) * "
+            f"{_dlit(float(quant))}))"
+            for d in range(dim)
+        )
+        + ")"
+    )
     for _ in range(iters):
         assign = _assign_nearest(corpus, cents, c_id, c_vec)
-        stats = assign.groupBy("cent_id").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(
-                    F.floor(F.col(c_vec)[d].cast("double") * F.lit(float(quant)))
-                ).alias(f"_s{d}")
-                for d in range(dim)
-            ],
-        )
+        stats = assign.groupBy("cent_id").agg(sum_struct.alias("_st"))
         upd = {
             r["cent_id"]: [
-                r[f"_s{d}"] / (quant * r["_n"]) for d in range(dim)
+                r["_st"][f"s{d}"] / (quant * r["_st"]["n"])
+                for d in range(dim)
             ]
             for r in stats.collect()
         }
