@@ -370,3 +370,78 @@ def test_range_join_plan_has_no_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+# =====================================================================
+# Multi-resolution rollup cascade
+# =====================================================================
+
+
+def test_rollup_cascade_each_level_equals_direct(spark):
+    """Hand frame crossing 5m/1h/1d boundaries: every cascade level
+    must equal aggregating raw directly at that resolution (the
+    mergeability invariant), including the cent quantization."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    rows = [
+        # (ts_epoch_sec, key, value)
+        (100, "a", 1.005),       # floor(100.5) = 100 cents
+        (290, "a", 2.0),         # same 5m bucket as above
+        (301, "a", 3.33),        # next 5m bucket, same hour
+        (3601, "a", 4.0),        # next hour, same day
+        (86401, "a", 5.55),      # next day
+        (100, "b", 10.0),
+    ]
+    df = spark.createDataFrame(
+        [
+            (datetime.fromtimestamp(u, tz=timezone.utc).replace(tzinfo=None), k, v)
+            for u, k, v in rows
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    from ves_spark.aggregate import rollup_cascade
+
+    got = {
+        (r["res"], r["event_type"], r["bucket_start"]): (
+            r["cnt"],
+            r["sum_value"],
+            r["avg_value"],
+        )
+        for r in rollup_cascade(df).collect()
+    }
+
+    for res, label in [(300, "5m"), (3600, "1h"), (86400, "1d")]:
+        direct = defaultdict(lambda: [0, 0])
+        for u, k, v in rows:
+            b = math.floor(u / float(res)) * res
+            direct[(k, b)][0] += 1
+            direct[(k, b)][1] += math.floor(v * 100.0)
+        for (k, b), (cnt, cents) in direct.items():
+            want = (cnt, round(cents / 100.0, 2), round(cents / (100.0 * cnt), 4))
+            assert got[(label, k, b)] == want, (label, k, b)
+    # every level present, no extra rows
+    n_5m = len({(k, math.floor(u / 300) * 300) for u, k, _ in rows})
+    n_1h = len({(k, math.floor(u / 3600) * 3600) for u, k, _ in rows})
+    n_1d = len({(k, math.floor(u / 86400) * 86400) for u, k, _ in rows})
+    assert len(got) == n_5m + n_1h + n_1d
+
+
+def test_rollup_cascade_rejects_non_nesting(spark):
+    from ves_spark.aggregate import rollup_cascade
+
+    df = spark.createDataFrame([], "ts timestamp, event_type string, value double")
+    with pytest.raises(ValueError, match="nest"):
+        rollup_cascade(df, resolutions=(300, 1000), labels=("a", "b"))
+
+
+def test_rollup_cascade_coarse_levels_read_cached_partials(spark):
+    """The cascade must not rescan raw per resolution: the persisted
+    base partials appear as InMemoryTableScan in the executed plan."""
+    from ves_spark.queries import queries
+
+    df = queries()["time_bucket_rollup"](spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan

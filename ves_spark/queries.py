@@ -330,30 +330,46 @@ def route_fanout(spark, sf_dir):
 @register(
     "time_bucket_rollup",
     """
-    SELECT event_type,
-           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
-           count(*) AS cnt,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value
-    FROM events
-    GROUP BY event_type, date_trunc('hour', ts)
+    WITH q AS (
+      SELECT event_type,
+             date_diff('second', TIMESTAMP '1970-01-01', ts) AS u,
+             CAST(floor(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT '5m' AS res, event_type,
+           CAST(floor(u / 300.0) AS BIGINT) * 300 AS bucket_start,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(cents) / 100.0, 2) AS sum_value,
+           round(sum(cents) / (100.0 * count(*)), 4) AS avg_value
+    FROM q GROUP BY event_type, bucket_start
+    UNION ALL
+    SELECT '1h' AS res, event_type,
+           CAST(floor(u / 3600.0) AS BIGINT) * 3600 AS bucket_start,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(cents) / 100.0, 2) AS sum_value,
+           round(sum(cents) / (100.0 * count(*)), 4) AS avg_value
+    FROM q GROUP BY event_type, bucket_start
+    UNION ALL
+    SELECT '1d' AS res, event_type,
+           CAST(floor(u / 86400.0) AS BIGINT) * 86400 AS bucket_start,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(cents) / 100.0, 2) AS sum_value,
+           round(sum(cents) / (100.0 * count(*)), 4) AS avg_value
+    FROM q GROUP BY event_type, bucket_start
     """,
 )
 def time_bucket_rollup(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            "event_type",
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour_bucket"
-            ),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
-    )
+    """Multi-resolution rollup CASCADE (hypertable-style continuous
+    aggregate): 5-minute buckets aggregate the raw events once;
+    hourly merges the 5-minute partials and daily merges hourly —
+    exactly, because counts and integer-quantized value sums are
+    order-free mergeable longs. The oracle computes every level
+    DIRECTLY from raw, so a green row proves derived-from-partials ==
+    recomputed-from-scratch — the invariant that lets a 100 TB
+    deployment maintain coarse rollups without rescanning the corpus."""
+    from ves_spark.aggregate import rollup_cascade
+
+    return rollup_cascade(load(spark, sf_dir, "events"))
 
 
 @register(
