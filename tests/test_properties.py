@@ -171,3 +171,42 @@ def test_dup_span_coverage_matches_naive(spark, arrays, k):
         for r in duplicate_span_coverage(df, k=k).collect()
     }
     assert got == _naive_dup_coverage(arrays, k)
+
+
+# ---------------------------------------------------------------------
+# Bucketized range join == naive interval containment
+# ---------------------------------------------------------------------
+
+_coords = st.integers(min_value=-50, max_value=50)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(_coords, min_size=1, max_size=20),
+    intervals=st.lists(st.tuples(_coords, _coords), min_size=1, max_size=12),
+    width=st.sampled_from([1.0, 3.0, 7.0, 64.0]),
+)
+def test_bucketed_range_join_equals_naive(spark, points, intervals, width):
+    """Any geometry (inverted/empty intervals, negative coordinates,
+    widths smaller and larger than every interval): the bucketized
+    equi-join returns exactly the naive containment pairs."""
+    from ves_spark.operators.joins import bucketed_range_join
+
+    p_df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)], "pid long, p double"
+    )
+    i_df = spark.createDataFrame(
+        [(j, float(s), float(e)) for j, (s, e) in enumerate(intervals)],
+        "iid long, s double, e double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(p_df, i_df, "p", "s", "e", width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, x in enumerate(points)
+        for j, (s, e) in enumerate(intervals)
+        if s <= x < e
+    )
+    assert got == want

@@ -445,3 +445,97 @@ def test_rollup_cascade_coarse_levels_read_cached_partials(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+# =====================================================================
+# Mergeable HDR percentile partials in finalize_rollup
+# =====================================================================
+
+
+def _mini_pipeline(spark, tmp_path, run_id="run-hdr", crash_after=None):
+    import os
+
+    from ves_spark.pipeline import Pipeline, PipelineConfig
+    from ves_spark.synth import write_fixture
+
+    fix = os.path.join(str(tmp_path), "fix")
+    if not os.path.exists(fix):
+        write_fixture(fix, 10_000, seed=5)
+    p = Pipeline(
+        spark,
+        PipelineConfig(
+            sequences_path=os.path.join(fix, "sequences.parquet"),
+            source_meta_path=os.path.join(fix, "source_meta.parquet"),
+            route_rules_path=os.path.join(fix, "route_rules.parquet"),
+            out_dir=os.path.join(str(tmp_path), "out"),
+            n_units=4,
+            units_per_increment=2,
+            run_id=run_id,
+        ),
+    )
+    return p
+
+
+def test_finalize_hdr_equals_direct_histogram(spark, tmp_path):
+    """The merged hdr_partial percentiles must equal the HDR
+    percentiles computed directly over the full routed table — the
+    mergeability invariant that lets finalize skip the corpus scan."""
+    from ves_spark.streaming.hdr import (
+        percentiles_from_histogram,
+        rollup_histogram,
+    )
+
+    p = _mini_pipeline(spark, tmp_path)
+    p.run()
+    got = (
+        p.finalize_rollup()  # default: hdr partials
+        .select("sink", "source", "time_bucket", "p50", "p95", "p99")
+        .toPandas()
+        .sort_values(["sink", "source", "time_bucket"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        percentiles_from_histogram(
+            rollup_histogram(
+                p.routed(), ["sink", "source", "time_bucket"], "n_tok"
+            ),
+            ["sink", "source", "time_bucket"],
+        )
+        .select("sink", "source", "time_bucket", "p50", "p95", "p99")
+        .toPandas()
+        .sort_values(["sink", "source", "time_bucket"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, direct)
+    # exact columns unaffected by the percentile source
+    a = p.finalize_rollup(percentiles="hdr")
+    b = p.finalize_rollup(percentiles="scan")
+    cols = ["sink", "source", "time_bucket", "cnt", "sum_n_tok", "sum_bytes"]
+    pd.testing.assert_frame_equal(
+        a.select(cols).toPandas().sort_values(cols).reset_index(drop=True),
+        b.select(cols).toPandas().sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_finalize_hdr_survives_crash_resume(spark, tmp_path):
+    """Percentile partials follow the same crash-cleanup lifecycle as
+    the exact partials: resumed == single-shot including percentiles."""
+    import pandas as pd
+    import pytest as _pt
+
+    single = _mini_pipeline(spark, tmp_path / "a", run_id="run-s")
+    single.run()
+    crashy = _mini_pipeline(spark, tmp_path / "b", run_id="run-c")
+    with _pt.raises(RuntimeError):
+        crashy.run(fail_after_units=2)
+    resumed = _mini_pipeline(spark, tmp_path / "b", run_id="run-r")
+    resumed.run()
+    cols = ["sink", "source", "time_bucket", "cnt", "p50", "p95", "p99"]
+    pd.testing.assert_frame_equal(
+        resumed.finalize_rollup().select(cols).toPandas()
+        .sort_values(cols[:3]).reset_index(drop=True),
+        single.finalize_rollup().select(cols).toPandas()
+        .sort_values(cols[:3]).reset_index(drop=True),
+    )

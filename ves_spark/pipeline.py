@@ -198,6 +198,7 @@ class Pipeline:
         trigger condition intact, so the next discover re-retires."""
         self.catalog.delete_partitions("routed", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("rollup_partial", [{"batch_seq": batch_seq}])
+        self.catalog.delete_partitions("hdr_partial", [{"batch_seq": batch_seq}])
         self.store.record_retire(batch_seq, self.conf.run_id, reason)
 
     def discover(self) -> list[tuple[int, list[str], list[int]]]:
@@ -325,6 +326,7 @@ class Pipeline:
         stale = [{"batch_seq": batch_seq, "unit_id": u} for u in units]
         self.catalog.delete_partitions("routed", stale)
         self.catalog.delete_partitions("rollup_partial", stale)
+        self.catalog.delete_partitions("hdr_partial", stale)
 
         nparts = conf.write_partitions or len(units)
         out = routed.repartition(nparts, "doc_id")  # bucketed write on doc_id
@@ -351,6 +353,23 @@ class Pipeline:
         self.catalog.overwrite_partitions(
             partials.repartition("unit_id"),
             "rollup_partial",
+            ["batch_seq", "unit_id"],
+        )
+
+        # Mergeable percentile partials: HDR log-bucket counts per
+        # (unit, group) — same shape the streaming rollup maintains —
+        # so finalize_rollup never rescans the routed corpus for
+        # percentiles; it merges these (group x bucket)-sized rows.
+        from ves_spark.streaming.hdr import rollup_histogram
+
+        hdr = rollup_histogram(
+            routed_back,
+            ["batch_seq", "unit_id", "sink", "source", "time_bucket"],
+            value_col="n_tok",
+        )
+        self.catalog.overwrite_partitions(
+            hdr.repartition("unit_id"),
+            "hdr_partial",
             ["batch_seq", "unit_id"],
         )
 
@@ -411,31 +430,49 @@ class Pipeline:
     def routed(self) -> DataFrame:
         return self.catalog.read(self.spark, "routed")
 
-    def finalize_rollup(self) -> DataFrame:
-        """Merge per-unit partials into the final rollup (counts/sums —
-        exact) and attach percentile sketches computed over the routed
-        table. Percentile merge over partials would need sketch
-        serialization; reading routed (already columnar, pruned to
-        n_tok) is the simpler exact-enough finalize at any scale."""
+    def finalize_rollup(self, percentiles: str = "hdr") -> DataFrame:
+        """Merge per-unit partials into the final rollup. Counts/sums
+        come from ``rollup_partial`` (algebraic, exact). Percentiles
+        come from the mergeable HDR log-bucket partials
+        (``hdr_partial``, default): finalize only touches
+        (group x bucket)-sized rows, NEVER the routed corpus —
+        relative quantile error <= 2^-7, exact for n_tok < 256.
+        ``percentiles="scan"`` keeps the old percentile_approx pass
+        over the routed table (a full corpus rescan per finalize — the
+        thing the HDR partials exist to avoid at 100 TB)."""
         partials = self.catalog.read(self.spark, "rollup_partial")
         exact = partials.groupBy("sink", "source", "time_bucket").agg(
             F.sum("cnt").alias("cnt"),
             F.sum("sum_n_tok").alias("sum_n_tok"),
             F.sum("sum_bytes").alias("sum_bytes"),
         )
-        pctl = (
-            self.routed()
-            .groupBy("sink", "source", "time_bucket")
-            .agg(
-                F.percentile_approx("n_tok", [0.5, 0.95, 0.99], 10_000).alias("_p")
+        if percentiles == "hdr":
+            from ves_spark.streaming.hdr import percentiles_from_histogram
+
+            hist = (
+                self.catalog.read(self.spark, "hdr_partial")
+                .groupBy("sink", "source", "time_bucket", "bucket")
+                .agg(F.sum("cnt").alias("cnt"), F.sum("sum_v").alias("sum_v"))
             )
-            .select(
-                "sink",
-                "source",
-                "time_bucket",
-                F.element_at("_p", 1).alias("p50"),
-                F.element_at("_p", 2).alias("p95"),
-                F.element_at("_p", 3).alias("p99"),
+            pctl = percentiles_from_histogram(
+                hist, ["sink", "source", "time_bucket"]
+            ).select("sink", "source", "time_bucket", "p50", "p95", "p99")
+        else:
+            pctl = (
+                self.routed()
+                .groupBy("sink", "source", "time_bucket")
+                .agg(
+                    F.percentile_approx(
+                        "n_tok", [0.5, 0.95, 0.99], 10_000
+                    ).alias("_p")
+                )
+                .select(
+                    "sink",
+                    "source",
+                    "time_bucket",
+                    F.element_at("_p", 1).cast("long").alias("p50"),
+                    F.element_at("_p", 2).cast("long").alias("p95"),
+                    F.element_at("_p", 3).cast("long").alias("p99"),
+                )
             )
-        )
         return exact.join(pctl, ["sink", "source", "time_bucket"])
