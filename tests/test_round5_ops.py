@@ -298,7 +298,7 @@ def test_lm_fluency_matches_scalar_reference(spark):
 def test_lm_fluency_plan_broadcasts_model_no_python(spark):
     from ves_spark.queries import queries
 
-    df = queries()["lm_fluency_docs"](spark, "/root/testdata/sf0.001")
+    df = queries()["lm_fluency_docs"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -438,13 +438,16 @@ def test_rollup_cascade_rejects_non_nesting(spark):
 
 def test_rollup_cascade_coarse_levels_read_cached_partials(spark):
     """The cascade must not rescan raw per resolution: the persisted
-    base partials appear as InMemoryTableScan in the executed plan."""
+    checkpointed partials appear as an RDD scan and NO file scan
+    remains in the returned plan (raw was read once, during the eager
+    checkpoint)."""
     from ves_spark.queries import queries
 
     df = queries()["time_bucket_rollup"](spark, SF_DIR)
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan
 
 
 # =====================================================================
@@ -538,4 +541,37 @@ def test_finalize_hdr_survives_crash_resume(spark, tmp_path):
         .sort_values(cols[:3]).reset_index(drop=True),
         single.finalize_rollup().select(cols).toPandas()
         .sort_values(cols[:3]).reset_index(drop=True),
+    )
+
+
+def test_rollup_cascade_rejects_label_length_mismatch(spark):
+    from ves_spark.aggregate import rollup_cascade
+
+    df = spark.createDataFrame([], "ts timestamp, event_type string, value double")
+    with pytest.raises(ValueError, match="length mismatch"):
+        rollup_cascade(df, resolutions=(60, 300, 3600, 86400))
+
+
+def test_finalize_rollup_rejects_unknown_percentile_mode(spark, tmp_path):
+    p = _mini_pipeline(spark, tmp_path)
+    with pytest.raises(ValueError, match="percentiles"):
+        p.finalize_rollup(percentiles="HDR")
+
+
+def test_range_join_outlier_interval_fails_loudly(spark):
+    """A single interval spanning more buckets than the replication
+    cap must fail with the diagnostic, not explode the shuffle."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from ves_spark.operators.joins import bucketed_range_join
+
+    p_df = spark.createDataFrame([(1, 5.0)], "pid long, p double")
+    i_df = spark.createDataFrame(
+        [(9, 0.0, 1e9)], "iid long, s double, e double"
+    )
+    with pytest.raises(Exception, match="bucketed_range_join"):
+        bucketed_range_join(p_df, i_df, "p", "s", "e", 1.0).collect()
+    # same span with an adequate width is fine
+    assert (
+        bucketed_range_join(p_df, i_df, "p", "s", "e", 1e6).count() == 1
     )

@@ -105,6 +105,11 @@ def rollup_cascade(
     fluency quantization). Output: one row per (res, keys, bucket)
     with ``bucket_start`` in epoch seconds (timezone-free).
     """
+    if len(labels) != len(resolutions):
+        raise ValueError(
+            f"labels/resolutions length mismatch: {len(labels)} vs "
+            f"{len(resolutions)}"
+        )
     for a, b in zip(resolutions, resolutions[1:]):
         if b % a != 0:
             raise ValueError(f"resolutions must nest: {b} % {a} != 0")
@@ -124,11 +129,15 @@ def rollup_cascade(
             F.floor(F.col(value_col).cast("double") * scale).cast("long")
         ).alias("_cents"),
     )
-    # Persist each level: without it Catalyst merges the stacked
+    # Materialize each level: without it Catalyst merges the stacked
     # aggregates and every resolution rescans RAW (3 scans observed);
-    # the persisted partials make the cascade structural — one corpus
-    # scan, coarser levels read the (group-count-sized) level below.
-    cur = cur.persist()
+    # the checkpointed partials make the cascade structural — one
+    # corpus scan, coarser levels read the (group-count-sized) level
+    # below. localCheckpoint, not persist(): CacheManager holds
+    # cached plans until an explicit unpersist (a leak across
+    # repeated invocations), while checkpoint blocks are reclaimed by
+    # the ContextCleaner once the frame is garbage-collected.
+    cur = cur.localCheckpoint(eager=True)
 
     def finalize(d: DataFrame, label: str) -> DataFrame:
         return d.select(
@@ -153,6 +162,6 @@ def rollup_cascade(
             .cast("long")
             .alias("bucket_start"),
         ).agg(F.sum("cnt").alias("cnt"), F.sum("_cents").alias("_cents"))
-        cur = cur.persist()
+        cur = cur.localCheckpoint(eager=True)
         out = out.unionByName(finalize(cur, label))
     return out

@@ -66,10 +66,10 @@ def _pair_counts(toks: DataFrame, col: str) -> DataFrame:
     pairs = toks.select(
         F.explode(
             F.expr(
-                f"CASE WHEN size({col}) >= 2 THEN "
-                f"transform(sequence(1, size({col}) - 1), "
-                f"i -> struct(element_at({col}, i) AS a, "
-                f"element_at({col}, i + 1) AS b)) "
+                f"CASE WHEN size(`{col}`) >= 2 THEN "
+                f"transform(sequence(1, size(`{col}`) - 1), "
+                f"i -> struct(element_at(`{col}`, i) AS a, "
+                f"element_at(`{col}`, i + 1) AS b)) "
                 f"ELSE CAST(array() AS array<struct<a:int,b:int>>) END"
             )
         ).alias("p")
@@ -114,7 +114,7 @@ def train_bpe(
         a, b = int(top[0]["a"]), int(top[0]["b"])
         merges.append((a, b, next_id))
         cur = cur.select(
-            F.expr(_merge_fold_expr(col, a, b, next_id)).alias(col)
+            F.expr(_merge_fold_expr(f"`{col}`", a, b, next_id)).alias(col)
         )
         next_id += 1
         # The fold chains one plan level per round; checkpoint so the
@@ -133,11 +133,70 @@ def apply_bpe(
     merge table is a driver-side literal (metadata-sized, the same
     role as broadcast centroids in the IVF operator). Matches the
     scalar reference encoder (`ref_apply_bpe`) exactly because BPE's
-    rank-greedy encode IS sequential rank-order pass application."""
-    expr = col
+    rank-greedy encode IS sequential rank-order pass application.
+
+    Expression depth grows with the merge count, so this path is for
+    SMALL merge tables (tens of merges — demos, ablations); a
+    production-size vocabulary (tens of thousands of merges) would
+    nest past parser/codegen limits. Use :func:`apply_bpe_pandas` for
+    that regime — Arrow-batched, one pass per doc regardless of merge
+    count."""
+    if len(merges) > 64:
+        raise ValueError(
+            f"apply_bpe chains one SQL fold per merge; {len(merges)} "
+            "merges would nest past analyzer limits — use "
+            "apply_bpe_pandas for large merge tables"
+        )
+    expr = f"`{col}`"
     for a, b, new_id in merges:
         expr = _merge_fold_expr(expr, a, b, new_id)
     return df.withColumn(col, F.expr(expr).cast("array<int>"))
+
+
+def apply_bpe_pandas(
+    df: DataFrame, merges: list[tuple[int, int, int]], col: str = "tokens"
+) -> DataFrame:
+    """Production-scale BPE encoder: the merge table (any size) is
+    shipped once per executor inside an Arrow-batched ``mapInPandas``
+    kernel; each document is encoded in one pass per applicable merge
+    RANK with dict lookups — no SQL expression nesting, no per-row
+    Python (Arrow moves whole column batches). Semantics identical to
+    :func:`apply_bpe` / `ref_apply_bpe`: merges applied in rank
+    order, left-greedy within a pass."""
+    rank: dict[tuple[int, int], tuple[int, int]] = {
+        (a, b): (r, new_id) for r, (a, b, new_id) in enumerate(merges)
+    }
+    out_schema = df.schema
+
+    def encode(seq):
+        cur = list(seq)
+        while True:
+            # lowest-rank pair present in the current sequence
+            best = None
+            for i in range(len(cur) - 1):
+                r = rank.get((cur[i], cur[i + 1]))
+                if r is not None and (best is None or r[0] < best[0]):
+                    best = r
+            if best is None:
+                return cur
+            _, new_id = best
+            a, b = merges[best[0]][0], merges[best[0]][1]
+            nxt, i = [], 0
+            while i < len(cur):
+                if i + 1 < len(cur) and cur[i] == a and cur[i + 1] == b:
+                    nxt.append(new_id)
+                    i += 2
+                else:
+                    nxt.append(cur[i])
+                    i += 1
+            cur = nxt
+
+    def batches(it):
+        for pdf in it:
+            pdf[col] = pdf[col].map(encode)
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
 
 
 # ---------------------------------------------------------------------

@@ -37,6 +37,7 @@ def bucketed_range_join(
     start_col: str,
     end_col: str,
     bucket_width: float,
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Inner-join ``points`` to ``intervals`` where
     ``start <= point < end`` (half-open), as a bucketized hash
@@ -61,16 +62,38 @@ def bucketed_range_join(
     # bound is exclusive, but a point in end's bucket may still fall
     # below end, so floor(end / w) is included; empty intervals
     # (end <= start) produce a descending sequence bound -> guard to
-    # emit no buckets at all.
+    # emit no buckets at all. A single outlier interval much longer
+    # than bucket_width would replicate into millions of copies (or
+    # overflow F.sequence outright), so replication is capped: the
+    # job fails LOUDLY with the offending width, telling the caller
+    # to pick a coarser bucket_width — never silently explodes the
+    # shuffle. assert_true is folded into the bucket column itself so
+    # column pruning cannot drop the check.
+    lo = F.floor(F.col(start_col) / w).cast("long")
+    hi = F.floor(F.col(end_col) / w).cast("long")
+    guard = F.assert_true(
+        hi - lo < F.lit(int(max_buckets_per_interval)),
+        F.concat(
+            F.lit(
+                "bucketed_range_join: interval spans more than "
+                f"{max_buckets_per_interval} buckets (start="
+            ),
+            F.col(start_col).cast("string"),
+            F.lit(", end="),
+            F.col(end_col).cast("string"),
+            F.lit(
+                f", bucket_width={float(bucket_width)!r}) — use a wider "
+                "bucket_width or raise max_buckets_per_interval"
+            ),
+        ),
+    )
     iv = intervals.withColumn(
         _BKT,
         F.explode(
             F.when(
-                F.col(end_col) > F.col(start_col),
-                F.sequence(
-                    F.floor(F.col(start_col) / w).cast("long"),
-                    F.floor(F.col(end_col) / w).cast("long"),
-                ),
+                guard.isNull()
+                & (F.col(end_col) > F.col(start_col)),
+                F.sequence(lo, hi),
             ).otherwise(F.lit(None).cast("array<long>"))
         ),
     )

@@ -254,9 +254,9 @@ def char_bigrams(col_name: str) -> Column:
     chars) — a JVM higher-order transform riding the scan, no explode
     yet."""
     return F.expr(
-        f"CASE WHEN char_length({col_name}) >= 2 THEN "
-        f"transform(sequence(1, char_length({col_name}) - 1), "
-        f"i -> substring({col_name}, i, 2)) "
+        f"CASE WHEN char_length(`{col_name}`) >= 2 THEN "
+        f"transform(sequence(1, char_length(`{col_name}`) - 1), "
+        f"i -> substring(`{col_name}`, i, 2)) "
         f"ELSE CAST(array() AS array<string>) END"
     )
 

@@ -338,10 +338,17 @@ class Pipeline:
         # sum over partials (finalize_rollup). Computed from the
         # just-written routed parquet (columnar, pruned scan) — the
         # transform itself is never executed a second time.
+        # One physical pass feeds BOTH partial tables (exact + HDR):
+        # without the checkpoint each write re-reads the routed
+        # partitions independently, doubling per-increment read I/O.
         routed_back = (
             self.catalog.read(self.spark, "routed")
             .filter(F.col("batch_seq") == batch_seq)
             .filter(F.col("unit_id").isin(units))
+            .select(
+                "batch_seq", "unit_id", "sink", "source", "time_bucket", "n_tok"
+            )
+            .localCheckpoint(eager=True)
         )
         partials = routed_back.groupBy(
             "batch_seq", "unit_id", "sink", "source", "time_bucket"
@@ -440,6 +447,10 @@ class Pipeline:
         ``percentiles="scan"`` keeps the old percentile_approx pass
         over the routed table (a full corpus rescan per finalize — the
         thing the HDR partials exist to avoid at 100 TB)."""
+        if percentiles not in ("hdr", "scan"):
+            raise ValueError(
+                f"percentiles must be 'hdr' or 'scan', got {percentiles!r}"
+            )
         partials = self.catalog.read(self.spark, "rollup_partial")
         exact = partials.groupBy("sink", "source", "time_bucket").agg(
             F.sum("cnt").alias("cnt"),
