@@ -1578,9 +1578,37 @@ def pack_chunks_docs(spark, sf_dir):
     )
 
 
-@register(
-    "quality_scores_docs",
-    """
+# Trained-classifier leg of quality_scores_docs: features (all in
+# [0,1], parity already proven by this query's own green history) and
+# the 0/1 label, as IDENTICAL SQL text on both sides so the literal-
+# weight fold evaluates in the same written order.
+_CLF_FEATS = [
+    "least(n_words / 100.0, 1.0)",
+    "stop_ratio",
+    "punct_ratio",
+    "ascii_ratio",
+]
+_CLF_LABEL = "CAST(lang = 'en' AS INT)"
+_CLF_ITERS, _CLF_LR = 2, 1.0
+
+
+def _quality_clf_oracle_sql() -> str:
+    """DuckDB replica of quality_features + langid_scores PLUS the
+    trained linear classifier (operators/classifier.py): the training
+    loop is unrolled into chained CTEs — quantized integer gradient
+    sums and the weight recurrence replayed bit-for-bit — and scoring
+    cross-joins the final single-row weight CTE. A green row proves
+    the ENTIRE model training is engine-independent."""
+    from ves_spark.operators.classifier import (
+        classifier_score_sql,
+        classifier_training_cte_sql,
+    )
+
+    ctes, w_cte = classifier_training_cte_sql(
+        "g", _CLF_FEATS, _CLF_LABEL, iters=_CLF_ITERS, lr=_CLF_LR
+    )
+    score = classifier_score_sql(w_cte, _CLF_FEATS, len(_CLF_FEATS))
+    return f"""
     WITH f AS (
       SELECT doc_id, lang,
              string_split_regex(trim(text), '\\s+') AS words,
@@ -1602,28 +1630,44 @@ def pack_chunks_docs(spark, sf_dir):
                w))) * 1.0 / greatest(len(lwords), 1), 4) AS en_score,
              round(ascii_ratio, 4) AS ascii_ratio
       FROM f
-    )
+    ), {ctes}
     SELECT doc_id, lang, n_words, stop_ratio, punct_ratio,
            round(least(n_words / 100.0, 1.0) * 0.4
                  + least(stop_ratio * 5, 1.0) * 0.4
                  + (1 - least(punct_ratio * 10, 1.0)) * 0.2, 4) AS quality_score,
-           en_score, ascii_ratio
-    FROM g
-    """,
-)
+           en_score, ascii_ratio,
+           {score} AS clf_prob
+    FROM g CROSS JOIN {w_cte}
+    """
+
+
+@register("quality_scores_docs", _quality_clf_oracle_sql())
 def quality_scores_docs(spark, sf_dir):
-    """Quality scoring AND the langid heuristic in one driver check
-    (merged to keep the registry within the driver's 50-query cap;
-    both operators keep their own columns — quality_score from
-    ``quality_features``, en_score/ascii_ratio from
-    ``langid_scores``). Both are map-only JVM expressions that ride
-    the scan in the same stage at any scale."""
+    """Quality scoring, the langid heuristic, AND the corpus-trained
+    linear classifier in one driver check (merged to keep the registry
+    within the driver's 50-query cap; every operator keeps its own
+    columns — quality_score from ``quality_features``, en_score/
+    ascii_ratio from ``langid_scores``, clf_prob from the trained
+    model). The heuristics are map-only JVM expressions riding the
+    scan; training (operators/classifier.py) adds ``iters`` one-scan
+    integer-sum aggregates — k+2 longs to the driver per pass — and
+    scoring is again map-only. The oracle replays the full training
+    (unrolled CTEs), so a green row certifies cross-engine
+    reproducible model fitting, not just scoring."""
+    from ves_spark.operators.classifier import (
+        score_linear,
+        train_linear_classifier,
+    )
     from ves_spark.operators.text import langid_scores, quality_features
 
     d = load(spark, sf_dir, "documents")
-    return langid_scores(quality_features(d, "text"), "text").select(
+    scored = langid_scores(quality_features(d, "text"), "text")
+    w = train_linear_classifier(
+        scored, _CLF_FEATS, _CLF_LABEL, iters=_CLF_ITERS, lr=_CLF_LR
+    )
+    return score_linear(scored, _CLF_FEATS, w).select(
         "doc_id", "lang", "n_words", "stop_ratio", "punct_ratio",
-        "quality_score", "en_score", "ascii_ratio",
+        "quality_score", "en_score", "ascii_ratio", "clf_prob",
     )
 
 
