@@ -1,0 +1,155 @@
+"""Output-file sizing writer: target-size math, per-file record caps,
+range clustering for footer-stat pruning, and the crash-safe
+small-files compaction rewrite (sources/sizing.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ves_spark.sources.sizing import (
+    compact_small_files,
+    estimate_row_bytes,
+    write_sized,
+)
+
+
+def _parquet_files(path):
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+@pytest.fixture()
+def frame(spark):
+    # ~2k rows with an incompressible-ish payload so bytes/row is stable
+    return spark.range(2000).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+        (F.col("id") % 50).alias("key"),
+    )
+
+
+def test_estimate_row_bytes_positive_and_empty_raises(spark, frame):
+    bpr = estimate_row_bytes(frame)
+    assert bpr > 0
+    with pytest.raises(ValueError):
+        estimate_row_bytes(frame.where(F.lit(False)))
+
+
+def test_write_sized_file_count_and_record_cap(spark, frame, tmp_path):
+    out = str(tmp_path / "sized")
+    # force multiple files: target ≈ 1/4 of the table's bytes
+    bpr = estimate_row_bytes(frame)
+    target = int(bpr * 2000 / 4)
+    stats = write_sized(frame, out, target_file_bytes=target, n_rows=2000, row_bytes=bpr)
+    files = _parquet_files(out)
+    # n_files partitions is the floor; maxRecordsPerFile may split a
+    # partition whose probe-estimated bytes/row ran slightly under
+    assert stats["n_files"] == 4
+    assert len(files) >= 4
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # hard cap: no file holds more rows than maxRecordsPerFile
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_file <= stats["rows_per_file"]
+
+
+def test_write_sized_cluster_cols_gives_disjoint_ranges(spark, frame, tmp_path):
+    out = str(tmp_path / "clustered")
+    bpr = estimate_row_bytes(frame)
+    write_sized(
+        frame,
+        out,
+        target_file_bytes=int(bpr * 2000 / 4),
+        n_rows=2000,
+        row_bytes=bpr,
+        cluster_cols=["id"],
+    )
+    spans = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) >= 2
+    # value-clustered: each file's [lo, hi] is disjoint from the next —
+    # a range predicate prunes whole files via parquet footer min/max
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] < b["lo"]
+
+
+def test_write_sized_empty_frame_writes_schema(spark, frame, tmp_path):
+    out = str(tmp_path / "empty")
+    stats = write_sized(frame.where(F.lit(False)), out)
+    assert stats["rows_per_file"] == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    # parquet round-trip drops non-nullability; names/types must hold
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in frame.schema.fields
+    ]
+
+
+def test_write_sized_rejects_bad_target(frame, tmp_path):
+    with pytest.raises(ValueError):
+        write_sized(frame, str(tmp_path / "x"), target_file_bytes=0)
+
+
+def test_compact_small_files_merges_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    # simulate 12 incremental appends → 12+ tiny files
+    for i in range(12):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(r["id"] for r in before.select("id").collect())
+    assert len(_parquet_files(path)) >= 12
+
+    stats = compact_small_files(spark, path, target_file_bytes=64 << 20)
+    assert stats["files_before"] >= 12
+    assert len(_parquet_files(path)) < stats["files_before"]
+    after = spark.read.parquet(path)
+    assert sorted(r["id"] for r in after.select("id").collect()) == before_rows
+    assert after.schema == before.schema
+    # no leftover temp/trash siblings
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if "_compact_" in d or "_trash_" in d]
+
+
+def test_compact_cluster_cols_passthrough(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    for i in range(4):
+        spark.range(i * 500, (i + 1) * 500).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+        ).coalesce(1).write.mode("append").parquet(path)
+    # tiny target so the compaction produces several range-clustered files
+    df = spark.read.parquet(path)
+    bpr = estimate_row_bytes(df)
+    compact_small_files(
+        spark, path, target_file_bytes=int(bpr * 2000 / 4), cluster_cols=["id"]
+    )
+    spans = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) >= 2
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] < b["lo"]

@@ -1,0 +1,151 @@
+"""Output file sizing: target-size parquet writes + small-files
+compaction (the Iceberg ``rewrite_data_files`` analogue for the
+parquet catalog).
+
+Why this is a first-class operator at 100 TB: a job's output file
+geometry is set by its LAST stage's partitioning, which is tuned for
+compute, not storage. A 10k-task final stage writing a 1 TB result
+produces 10k ~100 MB files (fine) — but the same stage writing a
+10 GB result produces 10k 1 MB files, and every downstream scan then
+pays 10k open/seek/footer reads (plus NameNode/object-store metadata
+pressure). The inverse failure — one giant file — serializes any
+non-splittable consumer. The fix is always the same: estimate
+bytes/row, derive rows/file for a byte target, and give the write
+exactly ``ceil(total/target)`` partitions with ``maxRecordsPerFile``
+as the hard per-file cap.
+
+Reference basis: the reference sizes its reads (16 KiB chunk buffer,
+`src/tailer/reader.rs:10`) but writes nothing; sink-side sizing is
+the missing half its declared sink stage would need
+(`src/tailer/manager.rs:21-29`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def estimate_row_bytes(
+    df: DataFrame, probe_rows: int = 2000, tmp_root: str = "/tmp"
+) -> float:
+    """On-disk (encoded + compressed) bytes per row, measured by
+    writing a small deterministic probe (``limit(probe_rows)``) as
+    parquet and dividing. One tiny job; the probe understates the
+    compression ratio of dictionary-heavy columns slightly (smaller
+    dictionaries amortize worse), which biases file sizes UNDER the
+    target — the safe direction. Raises on an empty input."""
+    tmp = os.path.join(tmp_root, f"_ves_size_probe_{uuid.uuid4().hex}")
+    try:
+        probe = df.limit(int(probe_rows)).coalesce(1)
+        probe.write.mode("overwrite").parquet(tmp)
+        back = df.sparkSession.read.parquet(tmp)
+        n = back.count()
+        if n == 0:
+            raise ValueError("cannot size an empty DataFrame")
+        data = sum(
+            os.path.getsize(os.path.join(tmp, f))
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        return data / n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    n_rows: int | None = None,
+    row_bytes: float | None = None,
+    cluster_cols: list[str] | None = None,
+    max_files: int = 1 << 20,
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` as parquet with files near ``target_file_bytes``.
+
+    Derivation: ``rows_per_file = target / bytes_per_row`` (hard cap
+    via ``maxRecordsPerFile`` — no file can exceed ~target even under
+    skew) and ``n_files = ceil(n_rows / rows_per_file)`` partitions so
+    no file lands far UNDER the target either. ``n_rows`` defaults to
+    one ``count()`` — over parquet sources that is a footer-metadata
+    job; for computed frames pass a known count to avoid the extra
+    scan. ``row_bytes`` defaults to a probe write
+    (:func:`estimate_row_bytes`).
+
+    ``cluster_cols`` switches the placement exchange to
+    ``repartitionByRange`` so output files are value-clustered —
+    downstream range predicates then prune whole files via parquet
+    min/max footer stats instead of scanning everything (the poor
+    man's Z-order, exactly right for time-keyed logs).
+
+    Returns ``{"n_files", "rows_per_file", "row_bytes"}`` for
+    observability. Scale shape: one exchange (round-robin or range)
+    sized to the OUTPUT, independent of the compute stage's
+    partitioning; the write itself is embarrassingly parallel."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    n = df.count() if n_rows is None else int(n_rows)
+    if n == 0:
+        # nothing to size — write the empty frame as-is (schema file)
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return {"n_files": 1, "rows_per_file": 0, "row_bytes": 0.0}
+    bpr = estimate_row_bytes(df) if row_bytes is None else float(row_bytes)
+    rows_per_file = max(1, int(target_file_bytes / max(bpr, 1e-9)))
+    n_files = min(max(1, math.ceil(n / rows_per_file)), int(max_files))
+    placed = (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        if cluster_cols
+        else df.repartition(n_files)
+    )
+    (
+        placed.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(path)
+    )
+    return {
+        "n_files": n_files,
+        "rows_per_file": rows_per_file,
+        "row_bytes": round(bpr, 2),
+    }
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into target-sized files — the
+    maintenance pass for tables that accumulated small files from many
+    incremental appends (every `_process_increment` commit is its own
+    file set). Equivalent to Iceberg's ``rewrite_data_files``.
+
+    The rewrite is crash-safe: the resized copy is written to a
+    sibling temp dir first, then swapped in with two renames (old →
+    trash, new → live, trash removed last), so a crash leaves either
+    the complete old directory or the complete new one, never a
+    partial mix — same delete-then-record discipline as the lineage
+    compaction (`checkpoint.py::compact`). NOT safe under a concurrent
+    writer to ``path``; run it like any table-maintenance job, from
+    the single maintenance owner."""
+    before = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    df = spark.read.parquet(path)
+    tmp_new = path.rstrip("/") + f"._compact_{uuid.uuid4().hex}"
+    stats = write_sized(df, tmp_new, target_file_bytes, cluster_cols=cluster_cols)
+    trash = path.rstrip("/") + f"._trash_{uuid.uuid4().hex}"
+    os.rename(path, trash)
+    os.rename(tmp_new, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    stats["files_before"] = len(before)
+    if cluster_cols:
+        stats["clustered"] = cluster_cols
+    return stats
