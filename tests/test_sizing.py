@@ -153,3 +153,78 @@ def test_compact_cluster_cols_passthrough(spark, tmp_path):
     assert len(spans) >= 2
     for a, b in zip(spans, spans[1:]):
         assert a["hi"] < b["lo"]
+
+
+# ------------------------------------- pipeline-integrated output sizing
+
+from ves_spark.pipeline import Pipeline, PipelineConfig
+from ves_spark.synth import write_fixture
+
+
+@pytest.fixture(scope="module")
+def pipe_fix(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sizing_fix"))
+    write_fixture(d, 6_000, seed=77)
+    return d
+
+
+@pytest.mark.parametrize("impl", ["parquet", "snapshot"])
+def test_pipeline_target_file_bytes_caps_routed_files(
+    spark, pipe_fix, tmp_path_factory, impl
+):
+    out = str(tmp_path_factory.mktemp(f"sized-{impl}"))
+    conf = PipelineConfig(
+        sequences_path=os.path.join(pipe_fix, "sequences.parquet"),
+        source_meta_path=os.path.join(pipe_fix, "source_meta.parquet"),
+        route_rules_path=os.path.join(pipe_fix, "route_rules.parquet"),
+        out_dir=out,
+        n_units=4,
+        units_per_increment=4,
+        run_id="sz",
+        catalog_impl=impl,
+        target_file_bytes=16 << 10,
+    )
+    pipe = Pipeline(spark, conf)
+    stats = pipe.run()
+    assert stats["units_processed"] == 4
+    cap = pipe._routed_rows_per_file
+    assert cap and cap >= 1
+    routed = pipe.routed()
+    per_file = (
+        routed.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= cap for r in per_file)
+    # unchanged pipeline semantics: idempotent rerun, rollup intact
+    assert pipe.run()["units_processed"] == 0
+    assert pipe.finalize_rollup().count() > 0
+
+    # the cap actually bit: an uncapped control run of the same input
+    # produces fewer, larger files (some over the per-file row cap)
+    out2 = str(tmp_path_factory.mktemp(f"unsized-{impl}"))
+    ctl = Pipeline(
+        spark,
+        PipelineConfig(
+            sequences_path=os.path.join(pipe_fix, "sequences.parquet"),
+            source_meta_path=os.path.join(pipe_fix, "source_meta.parquet"),
+            route_rules_path=os.path.join(pipe_fix, "route_rules.parquet"),
+            out_dir=out2,
+            n_units=4,
+            units_per_increment=4,
+            run_id="sz0",
+            catalog_impl=impl,
+        ),
+    )
+    ctl.run()
+    ctl_max = (
+        ctl.routed()
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert ctl._routed_rows_per_file is None
+    assert ctl_max > cap

@@ -38,6 +38,14 @@ def main(argv: list[str] | None = None) -> None:
         "reference's `recursive: false`; default walks nested dirs)",
     )
     p.add_argument("--write-partitions", type=int, default=0)
+    p.add_argument(
+        "--target-file-bytes",
+        type=int,
+        default=0,
+        help="if > 0, cap each routed output file near this many "
+        "on-disk bytes (maxRecordsPerFile from a once-per-run "
+        "bytes/row probe); 0 = uncapped",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument(
         "--prefer-iceberg",
@@ -81,6 +89,7 @@ def main(argv: list[str] | None = None) -> None:
         parse_impl=args.parse_impl,
         recursive=not args.no_recursive,
         write_partitions=args.write_partitions,
+        target_file_bytes=args.target_file_bytes,
         run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
         prefer_iceberg=args.prefer_iceberg,
         catalog_impl=args.catalog,

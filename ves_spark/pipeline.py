@@ -77,6 +77,11 @@ class PipelineConfig:
     recursive: bool = True
     parse_impl: str = "builtin"  # 'builtin' | 'arrow'
     write_partitions: int = 0  # 0 = one output partition per unit
+    # >0: cap every routed data file near this many on-disk bytes
+    # (maxRecordsPerFile from a once-per-run bytes/row probe —
+    # sources/sizing.py). Fixes the giant-file half of output geometry
+    # without touching the doc_id bucketing; 0 = uncapped (legacy).
+    target_file_bytes: int = 0
     run_id: str = "run-0"
     prefer_iceberg: bool = False
     # 'parquet' | 'snapshot' (Iceberg contract double) | 'iceberg' |
@@ -100,6 +105,25 @@ class Pipeline:
         # with the explicit pre-delete this makes crashed-increment
         # output harmless regardless of sink-set changes.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # learned once per run from the first increment's routed frame
+        self._routed_rows_per_file: int | None = None
+
+    def _routed_write_options(self, routed) -> dict | None:
+        """maxRecordsPerFile for the routed write when sizing is on:
+        one bytes/row probe per RUN (a limit-bounded tiny parquet
+        write of the computed frame), then a constant cap — encoded
+        bytes/row is stable across increments of the same stream, and
+        re-probing per increment would add a job to every batch."""
+        if self.conf.target_file_bytes <= 0:
+            return None
+        if self._routed_rows_per_file is None:
+            from ves_spark.sources.sizing import estimate_row_bytes
+
+            bpr = estimate_row_bytes(routed)
+            self._routed_rows_per_file = max(
+                1, int(self.conf.target_file_bytes / max(bpr, 1e-9))
+            )
+        return {"maxRecordsPerFile": self._routed_rows_per_file}
 
     # -------------------------------------------------------- discovery
     def _keep(self, name: str) -> bool:
@@ -331,7 +355,10 @@ class Pipeline:
         nparts = conf.write_partitions or len(units)
         out = routed.repartition(nparts, "doc_id")  # bucketed write on doc_id
         self.catalog.overwrite_partitions(
-            out, "routed", ["batch_seq", "unit_id", "sink"]
+            out,
+            "routed",
+            ["batch_seq", "unit_id", "sink"],
+            options=self._routed_write_options(routed),
         )
 
         # Rollup partials per unit — algebraic, so the final rollup is a

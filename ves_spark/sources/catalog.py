@@ -44,8 +44,16 @@ class TableCatalog(ABC):
 
     @abstractmethod
     def overwrite_partitions(
-        self, df: DataFrame, name: str, partition_by: list[str]
-    ) -> None: ...
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str],
+        options: dict | None = None,
+    ) -> None:
+        """Dynamic partition overwrite. ``options`` are writer options
+        threaded to the physical write (e.g. ``maxRecordsPerFile`` for
+        target-size output files — sources/sizing.py); values are
+        stringified for the DataFrameWriter API."""
 
     def list_tables(self, spark: SparkSession, prefix: str = "") -> list[str]:
         """Names of existing tables starting with ``prefix``. Used by
@@ -108,13 +116,15 @@ class ParquetCatalog(TableCatalog):
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
 
-    def overwrite_partitions(self, df, name, partition_by=()):
+    def overwrite_partitions(self, df, name, partition_by=(), options=None):
         # Per-write dynamic mode: only partitions present in ``df`` are
         # replaced. Set HERE, not via session conf — under Spark's
         # default ('static') an overwrite would silently DELETE every
         # partition not in the batch, so the operator must not depend
         # on the caller's session state for its contract.
         w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        for k, v in (options or {}).items():
+            w = w.option(k, str(v))
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
@@ -207,8 +217,11 @@ class IcebergCatalog(TableCatalog):
     def append(self, df, name, partition_by=()):
         df.writeTo(self._tbl(name)).append()
 
-    def overwrite_partitions(self, df, name, partition_by=()):
-        df.writeTo(self._tbl(name)).overwritePartitions()
+    def overwrite_partitions(self, df, name, partition_by=(), options=None):
+        wt = df.writeTo(self._tbl(name))
+        for k, v in (options or {}).items():
+            wt = wt.option(k, str(v))
+        wt.overwritePartitions()
 
     def current_snapshot_id(self, name: str) -> int | None:
         spark = SparkSession.getActiveSession()

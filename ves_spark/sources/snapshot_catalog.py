@@ -87,13 +87,15 @@ class LocalSnapshotCatalog(TableCatalog):
 
     # ------------------------------------------------------ data write
     def _write_snapshot_dir(
-        self, df: DataFrame, name: str, partition_by, snap_id: int
+        self, df: DataFrame, name: str, partition_by, snap_id: int, options=None
     ) -> tuple[str, list[str]]:
         """Write df into a fresh immutable data dir; returns (dir name,
         partition specs present in the written data)."""
         dname = f"s{snap_id}-{uuid.uuid4().hex[:8]}"
         full = os.path.join(self._tdir(name), "data", dname)
         w = df.write.mode("error")
+        for k, v in (options or {}).items():
+            w = w.option(k, str(v))
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(full)
@@ -105,11 +107,13 @@ class LocalSnapshotCatalog(TableCatalog):
         return dname, sorted(specs)
 
     def _commit_write(
-        self, df: DataFrame, name: str, partition_by, op: str
+        self, df: DataFrame, name: str, partition_by, op: str, options=None
     ) -> None:
         meta = self._next_meta(name)
         snap_id = meta["current_snapshot_id"]
-        dname, specs = self._write_snapshot_dir(df, name, partition_by, snap_id)
+        dname, specs = self._write_snapshot_dir(
+            df, name, partition_by, snap_id, options
+        )
         live = meta["live"]
         for spec in specs:
             entry = [dname, spec, snap_id]
@@ -138,8 +142,8 @@ class LocalSnapshotCatalog(TableCatalog):
     def append(self, df, name, partition_by=()):
         self._commit_write(df, name, partition_by, "append")
 
-    def overwrite_partitions(self, df, name, partition_by=()):
-        self._commit_write(df, name, partition_by, "overwrite")
+    def overwrite_partitions(self, df, name, partition_by=(), options=None):
+        self._commit_write(df, name, partition_by, "overwrite", options)
 
     def delete_partitions(self, name, parts):
         if not parts or self._load_meta(name) is None:
