@@ -1355,18 +1355,39 @@ def ann_lsh_topk_q(spark, sf_dir):
     """
     SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              w -> (length(w) * 131 + ascii(w)) % 1000000007)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
     FROM documents
     """,
 )
 def token_count_docs(spark, sf_dir):
+    """Token counting AND the rolling-hash document fingerprint in one
+    driver check (registry fold #6 — both are map-only per-doc text
+    projections riding the same scan; every column keeps its operator:
+    ws/bpe_tokens from token counting, fp from fingerprinting). The fp
+    word hash ((len*131 + ascii(first)) mod M) is the cross-engine
+    variant; production (operators/text.py) uses xxhash64 words."""
+    d = load(spark, sf_dir, "documents")
     from ves_spark.operators.text import bpe_token_count, ws_token_count
 
-    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    vals = F.transform(
+        words, lambda w: (F.length(w) * 131 + F.ascii(w)) % 1000000007
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
     return d.select(
         "doc_id",
         ws_token_count(F.col("text")).alias("ws_tokens"),
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        fp.alias("fp"),
     )
 
 
@@ -1737,34 +1758,69 @@ def pii_redact_docs(spark, sf_dir):
     )
 
 
-@register(
-    "fingerprint_docs",
+def _kmv_oracle_sql() -> str:
+    """DuckDB replay of the whole KMV path: same 60-bit md5 hash, same
+    global distinct, same bottom-k, same (k-1)/u_k branch arithmetic —
+    a green row proves the sketch AND the estimator are
+    engine-independent (what no HLL-based approx count can offer)."""
+    from ves_spark.operators.sketches import (
+        kmv_estimate_sql,
+        md5_hash60_sql,
+    )
+
+    kth_sql, est_sql = kmv_estimate_sql(_KMV_K)
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT lang, {md5_hash60_sql("doc_id")} AS hx FROM documents
+    ),
+    r AS (
+      SELECT lang, hx,
+             row_number() OVER (PARTITION BY lang ORDER BY hx) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT lang, list_sort(list(hx)) AS mins
+      FROM r WHERE rn <= {_KMV_K} GROUP BY lang
+    ),
+    e AS (
+      SELECT lang, {kth_sql}, {est_sql},
+             (SELECT COUNT(DISTINCT d.doc_id) FROM documents d
+              WHERE d.lang = s.lang) AS exact_distinct
+      FROM s
+    )
+    SELECT lang, kth, est_distinct, exact_distinct FROM e
     """
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(0::BIGINT,
-               list_transform(string_split_regex(trim(text), '\\s+'),
-                              w -> (length(w) * 131 + ascii(w)) % 1000000007)),
-             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-    FROM documents
-    """,
-)
-def fingerprint_docs(spark, sf_dir):
-    """Order-sensitive polynomial rolling-hash fingerprint with a
-    cross-engine word hash ((len*131 + ascii(first_char)) mod M) so
-    DuckDB can replicate it exactly; the production variant in
-    operators/text.py uses xxhash64 word hashes."""
+
+
+_KMV_K = 32
+
+
+@register("distinct_kmv_docs", _kmv_oracle_sql())
+def distinct_kmv_docs(spark, sf_dir):
+    """Per-lang distinct-doc estimate from a MERGEABLE KMV sketch
+    (operators/sketches.py) next to the exact count. Driver-checked
+    with the injectable cross-engine md5 hash; production uses
+    xxhash64. At sf>=0.01 groups exceed k=32 distinct keys so the
+    (k-1)/u_k estimator branch runs; below, the sketch is exact —
+    both branches replayed by the oracle."""
+    from ves_spark.operators.sketches import (
+        kmv_estimate_cols,
+        kmv_sketch,
+        md5_hash60,
+    )
+
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    vals = F.transform(
-        words, lambda w: (F.length(w) * 131 + F.ascii(w)) % 1000000007
+    sk = kmv_sketch(
+        d, "doc_id", ["lang"], k=_KMV_K, hash_col=md5_hash60(F.col("doc_id"))
     )
-    fp = F.aggregate(
-        vals,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % 1000000007,
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
     )
-    return d.select("doc_id", fp.alias("fp"))
+    return (
+        sk.select("lang", *kmv_estimate_cols(_KMV_K))
+        .join(exact, "lang")
+        .select("lang", "kth", "est_distinct", "exact_distinct")
+    )
 
 
 @register(
