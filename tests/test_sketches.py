@@ -71,3 +71,92 @@ def test_md5_hash_path_matches_default_semantics(spark):
 def test_k_below_two_rejected(spark):
     with pytest.raises(ValueError):
         kmv_sketch(_ids(spark, 0, 5), "key", ["grp"], k=1)
+
+
+# --------------------------------- pipeline cardinality partials (KMV)
+
+import os
+
+from ves_spark.pipeline import Pipeline, PipelineConfig
+from ves_spark.synth import write_fixture
+
+
+@pytest.fixture(scope="module")
+def kmv_fix(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("kmv_fix"))
+    write_fixture(d, 6_000, seed=99)
+    return d
+
+
+def _pconf(fix, out, run_id):
+    return PipelineConfig(
+        sequences_path=os.path.join(fix, "sequences.parquet"),
+        source_meta_path=os.path.join(fix, "source_meta.parquet"),
+        route_rules_path=os.path.join(fix, "route_rules.parquet"),
+        out_dir=out,
+        n_units=4,
+        units_per_increment=2,  # two increments -> cross-batch merge
+        run_id=run_id,
+    )
+
+
+def test_pipeline_kmv_partials_match_direct_sketch(
+    spark, kmv_fix, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("kmv_out"))
+    pipe = Pipeline(spark, _pconf(kmv_fix, out, "kmv"))
+    pipe.run()
+
+    # bit-for-bit: merged per-(unit,sink) partials == one-shot sketch
+    # over the full routed table (incremental == single-pass)
+    from ves_spark.operators.sketches import kmv_merge_agg, kmv_sketch
+
+    merged = (
+        pipe.catalog.read(spark, "kmv_partial")
+        .groupBy("sink")
+        .agg(kmv_merge_agg("mins", Pipeline.KMV_K).alias("mins"))
+    )
+    direct = kmv_sketch(
+        pipe.routed().select("sink", "doc_id"),
+        "doc_id",
+        ["sink"],
+        k=Pipeline.KMV_K,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # estimates land near the exact per-sink distinct counts
+    exact = {
+        r["sink"]: r["d"]
+        for r in pipe.routed()
+        .groupBy("sink")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    for r in pipe.distinct_docs_per_sink().collect():
+        e = exact[r["sink"]]
+        if e < Pipeline.KMV_K:
+            assert r["est_distinct"] == float(e)
+        else:
+            assert abs(r["est_distinct"] - e) / e < 0.25
+
+
+def test_pipeline_kmv_crash_resume_equals_single_shot(
+    spark, kmv_fix, tmp_path_factory
+):
+    single = Pipeline(
+        spark, _pconf(kmv_fix, str(tmp_path_factory.mktemp("kmv_s")), "s")
+    )
+    single.run()
+
+    out = str(tmp_path_factory.mktemp("kmv_c"))
+    crash = Pipeline(spark, _pconf(kmv_fix, out, "c"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        crash.run(fail_after_units=2)
+    resumed = Pipeline(spark, _pconf(kmv_fix, out, "c"))
+    resumed.run()
+
+    assert sorted(map(tuple, resumed.distinct_docs_per_sink().collect())) == sorted(
+        map(tuple, single.distinct_docs_per_sink().collect())
+    )

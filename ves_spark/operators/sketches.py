@@ -118,6 +118,20 @@ def kmv_merge_expr(mins_cols: list[Column | str], k: int) -> Column:
     )
 
 
+def kmv_merge_agg(mins_col: str, k: int) -> Column:
+    """Aggregation-shaped merge: fold MANY sketch rows per group into
+    one (``collect_list`` → flatten → dedup → sort → first k). The
+    buffer holds n_rows_in_group × k longs, so at very long batch
+    histories merge in two levels (per (group, batch) first, then per
+    group) — both levels are this same expression, merge order is
+    irrelevant by associativity."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(mins_col)))),
+        1,
+        k,
+    )
+
+
 def kmv_estimate_cols(k: int, mins_col: str = "mins") -> list[Column]:
     """``kth`` (the k-th smallest hash, null if the group is exact)
     and ``est_distinct``: exact size(mins) when < k distinct, else

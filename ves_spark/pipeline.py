@@ -92,6 +92,10 @@ class PipelineConfig:
 
 
 class Pipeline:
+    # sketch size for the per-(unit, sink) doc_id cardinality partials:
+    # 256 gives ~6% relative stderr, and each partial row is ≤2 KiB
+    KMV_K = 256
+
     def __init__(self, spark: SparkSession, conf: PipelineConfig):
         self.spark = spark
         self.conf = conf
@@ -223,6 +227,7 @@ class Pipeline:
         self.catalog.delete_partitions("routed", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("rollup_partial", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("hdr_partial", [{"batch_seq": batch_seq}])
+        self.catalog.delete_partitions("kmv_partial", [{"batch_seq": batch_seq}])
         self.store.record_retire(batch_seq, self.conf.run_id, reason)
 
     def discover(self) -> list[tuple[int, list[str], list[int]]]:
@@ -351,6 +356,7 @@ class Pipeline:
         self.catalog.delete_partitions("routed", stale)
         self.catalog.delete_partitions("rollup_partial", stale)
         self.catalog.delete_partitions("hdr_partial", stale)
+        self.catalog.delete_partitions("kmv_partial", stale)
 
         nparts = conf.write_partitions or len(units)
         out = routed.repartition(nparts, "doc_id")  # bucketed write on doc_id
@@ -373,7 +379,13 @@ class Pipeline:
             .filter(F.col("batch_seq") == batch_seq)
             .filter(F.col("unit_id").isin(units))
             .select(
-                "batch_seq", "unit_id", "sink", "source", "time_bucket", "n_tok"
+                "batch_seq",
+                "unit_id",
+                "sink",
+                "source",
+                "time_bucket",
+                "n_tok",
+                "doc_id",
             )
             .localCheckpoint(eager=True)
         )
@@ -404,6 +416,25 @@ class Pipeline:
         self.catalog.overwrite_partitions(
             hdr.repartition("unit_id"),
             "hdr_partial",
+            ["batch_seq", "unit_id"],
+        )
+
+        # Mergeable cardinality partials: per-(unit, sink) KMV sketch
+        # of doc_id (operators/sketches.py) — distinct_docs_per_sink
+        # merges these ≤k-long arrays instead of count-distincting the
+        # routed corpus, and the merge dedups docs a sink received in
+        # MULTIPLE units/batches, which per-unit exact counts cannot.
+        from ves_spark.operators.sketches import kmv_sketch
+
+        kmv = kmv_sketch(
+            routed_back.select("batch_seq", "unit_id", "sink", "doc_id"),
+            "doc_id",
+            ["batch_seq", "unit_id", "sink"],
+            k=self.KMV_K,
+        )
+        self.catalog.overwrite_partitions(
+            kmv.repartition("unit_id"),
+            "kmv_partial",
             ["batch_seq", "unit_id"],
         )
 
@@ -514,3 +545,26 @@ class Pipeline:
                 )
             )
         return exact.join(pctl, ["sink", "source", "time_bucket"])
+
+    def distinct_docs_per_sink(self) -> DataFrame:
+        """Distinct-doc cardinality per sink from the committed
+        ``kmv_partial`` table: (sink, kth, est_distinct). Never
+        touches the routed corpus — it tree-merges the ≤k-long sketch
+        arrays (per (sink, batch) first, then per sink, so no merge
+        buffer scales with history length), and the merge dedups
+        docs delivered across units/batches, exactly like a global
+        COUNT(DISTINCT) would. Below k distinct docs the result is
+        exact; above, (k-1)/u_k with ~1/sqrt(k) relative error."""
+        from ves_spark.operators.sketches import (
+            kmv_estimate_cols,
+            kmv_merge_agg,
+        )
+
+        partials = self.catalog.read(self.spark, "kmv_partial")
+        per_batch = partials.groupBy("sink", "batch_seq").agg(
+            kmv_merge_agg("mins", self.KMV_K).alias("mins")
+        )
+        merged = per_batch.groupBy("sink").agg(
+            kmv_merge_agg("mins", self.KMV_K).alias("mins")
+        )
+        return merged.select("sink", *kmv_estimate_cols(self.KMV_K))
