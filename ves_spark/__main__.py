@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> None:
         "on-disk bytes (maxRecordsPerFile from a once-per-run "
         "bytes/row probe); 0 = uncapped",
     )
+    p.add_argument(
+        "--dedup-content",
+        action="store_true",
+        help="exactly-once by token-array content across batches: "
+        "docs whose content was already routed by a committed "
+        "increment are dropped (keeper = lowest (unit, doc_id))",
+    )
     p.add_argument("--run-id", default=None)
     p.add_argument(
         "--prefer-iceberg",
@@ -90,6 +97,7 @@ def main(argv: list[str] | None = None) -> None:
         recursive=not args.no_recursive,
         write_partitions=args.write_partitions,
         target_file_bytes=args.target_file_bytes,
+        dedup_content=args.dedup_content,
         run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
         prefer_iceberg=args.prefer_iceberg,
         catalog_impl=args.catalog,

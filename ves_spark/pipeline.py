@@ -82,6 +82,16 @@ class PipelineConfig:
     # sources/sizing.py). Fixes the giant-file half of output geometry
     # without touching the doc_id bucketing; 0 = uncapped (legacy).
     target_file_bytes: int = 0
+    # Exactly-once by CONTENT, not just by unit (the doc-level analogue
+    # of the reference's dedup-by-inode, src/watcher/discovery.rs:33-35):
+    # drop any doc whose token array was already routed by a COMMITTED
+    # increment. Identity = two independent xxhash64s of the token
+    # array (an effective 128-bit key; collision odds ~1e-15 at 1e12
+    # docs). The surviving copy is the lowest (batch_seq, unit_id,
+    # doc_id) one, which is grouping-independent: units are processed
+    # in ascending order, so crash/resume, a different
+    # units_per_increment, and a single shot all route the same set.
+    dedup_content: bool = False
     run_id: str = "run-0"
     prefer_iceberg: bool = False
     # 'parquet' | 'snapshot' (Iceberg contract double) | 'iceberg' |
@@ -99,6 +109,8 @@ class Pipeline:
     def __init__(self, spark: SparkSession, conf: PipelineConfig):
         self.spark = spark
         self.conf = conf
+        # docs dropped by content dedup this run (conf.dedup_content)
+        self.dup_docs_dropped = 0
         self.store = LineageStore(
             f"{conf.out_dir}/lineage", compact_every=conf.lineage_compact_every
         )
@@ -228,6 +240,7 @@ class Pipeline:
         self.catalog.delete_partitions("rollup_partial", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("hdr_partial", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("kmv_partial", [{"batch_seq": batch_seq}])
+        self.catalog.delete_partitions("seen_content", [{"batch_seq": batch_seq}])
         self.store.record_retire(batch_seq, self.conf.run_id, reason)
 
     def discover(self) -> list[tuple[int, list[str], list[int]]]:
@@ -314,6 +327,89 @@ class Pipeline:
         seq = seq.withColumn("unit_id", unit_col(self.conf.n_units))
         return seq.filter(F.col("unit_id").isin(units))
 
+    def _read_table_or_none(self, name: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.catalog.read(self.spark, name)
+        except (AnalysisException, FileNotFoundError):
+            return None
+
+    def _dedup_content(
+        self, seq: DataFrame, batch_seq: int, units: list[int]
+    ) -> DataFrame:
+        """Content-level exactly-once (``conf.dedup_content``): drop
+        docs whose token array was already routed by a COMMITTED
+        increment, keep the lowest (unit_id, doc_id) copy within this
+        increment, and commit the survivors' identities to a
+        ``seen_content`` table under the same per-(batch, unit)
+        partition lifecycle as the other partials.
+
+        Correctness under crashes: history is ``seen_content``
+        SEMI-JOINED to the lineage commit log — an orphan partition
+        from a crashed increment must not shadow, or its docs would
+        vanish when the unit is reprocessed. Because units are
+        processed in ascending order and the in-increment keeper is
+        min (unit_id, doc_id), the surviving copy of any content is
+        the globally minimal (batch_seq, unit_id, doc_id) one — a rule
+        independent of increment grouping, so crash/resume equals
+        single-shot bit-for-bit.
+
+        Scale shape: the dedup key is two 8-byte hash columns, so the
+        history anti-join shuffles 16 bytes/doc of the NEW increment
+        against a hash-only (never token-bearing) history table; at
+        extreme history sizes swap the anti-join for the reusable
+        bloom bitmap (operators/bloom.py) — same semantics, the
+        history side then streams map-side."""
+        from pyspark.sql import Window as W
+
+        hashed = seq.select(
+            "*",
+            F.xxhash64("tokens").alias("h1"),
+            F.xxhash64(F.lit("ves-content-dedup"), "tokens").alias("h2"),
+        )
+        w = W.partitionBy("h1", "h2").orderBy("unit_id", "doc_id")
+        kept = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        seen = self._read_table_or_none("seen_content")
+        lin = self.store.read(self.spark)
+        if seen is not None and lin is not None:
+            committed = (
+                lin.filter(F.col("stage") == "route")
+                .select("batch_seq", "unit_id")
+                .distinct()
+            )
+            seen = seen.join(
+                F.broadcast(committed), ["batch_seq", "unit_id"], "left_semi"
+            )
+            kept = kept.join(
+                seen.select("h1", "h2").distinct(), ["h1", "h2"], "left_anti"
+            )
+
+        self.catalog.overwrite_partitions(
+            kept.select(
+                F.lit(batch_seq).alias("batch_seq"), "unit_id", "h1", "h2"
+            ).repartition("unit_id"),
+            "seen_content",
+            ["batch_seq", "unit_id"],
+        )
+        # drop accounting: input docs minus committed identities (the
+        # seen_content read-back is a count over two pruned long
+        # columns — feature-gated, never on the default path)
+        n_in = seq.count()
+        n_kept = (
+            self.catalog.read(self.spark, "seen_content")
+            .filter(F.col("batch_seq") == batch_seq)
+            .filter(F.col("unit_id").isin(units))
+            .count()
+        )
+        self.dup_docs_dropped += n_in - n_kept
+        return kept.drop("h1", "h2")
+
     # ------------------------------------------------------------- run
     def run(self, fail_after_units: int | None = None) -> dict:
         """Discover + process all pending (batch, unit) work in
@@ -333,30 +429,40 @@ class Pipeline:
                 n_done += len(units)
                 if fail_after_units is not None and n_done >= fail_after_units:
                     raise RuntimeError(f"simulated crash after {n_done} units")
-        return {
+        stats = {
             "run_id": self.conf.run_id,
             "units_processed": n_done,
             "rows_routed": rows_total,
             "wall_sec": time.monotonic() - t0,
         }
+        if self.conf.dedup_content:
+            stats["docs_dropped_dup"] = self.dup_docs_dropped
+        return stats
 
     def _process_increment(
         self, batch_seq: int, files: list[str], units: list[int]
     ) -> int:
         conf = self.conf
-        routed = self.transform(self._read_units(files, units)).withColumn(
-            "batch_seq", F.lit(batch_seq)
-        )
-
-        # Unit-scoped crash cleanup: these (batch, unit) partitions have
-        # no lineage row, so anything under them is an orphan from a
-        # crashed increment — possibly written under OLD route rules
-        # with a different sink set. Delete before rewriting.
+        # Unit-scoped crash cleanup FIRST: these (batch, unit)
+        # partitions have no lineage row, so anything under them is an
+        # orphan from a crashed increment — possibly written under OLD
+        # route rules with a different sink set. Delete before any
+        # read or rewrite (content dedup in particular must never see
+        # an orphan seen_content partition as history).
         stale = [{"batch_seq": batch_seq, "unit_id": u} for u in units]
-        self.catalog.delete_partitions("routed", stale)
-        self.catalog.delete_partitions("rollup_partial", stale)
-        self.catalog.delete_partitions("hdr_partial", stale)
-        self.catalog.delete_partitions("kmv_partial", stale)
+        for t in (
+            "routed",
+            "rollup_partial",
+            "hdr_partial",
+            "kmv_partial",
+            "seen_content",
+        ):
+            self.catalog.delete_partitions(t, stale)
+
+        seq = self._read_units(files, units)
+        if conf.dedup_content:
+            seq = self._dedup_content(seq, batch_seq, units)
+        routed = self.transform(seq).withColumn("batch_seq", F.lit(batch_seq))
 
         nparts = conf.write_partitions or len(units)
         out = routed.repartition(nparts, "doc_id")  # bucketed write on doc_id
