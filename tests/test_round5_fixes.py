@@ -253,6 +253,72 @@ def test_stream_dedup_redelivered_microbatches_match_batch(spark, tmp_path):
         )
 
 
+def test_stream_dedup_by_content_drops_renamed_copies(spark, tmp_path):
+    """dedup='content': a second micro-batch carrying the SAME token
+    arrays under NEW doc_ids is dropped entirely — the streaming
+    counterpart of the batch pipeline's dedup_content, keyed by the
+    same two-xxhash64 identity, not by doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ves_spark.sources.catalog import ParquetCatalog
+    from ves_spark.streaming.stream_pipeline import run_per_sink_delivery
+    from ves_spark.synth import write_fixture
+
+    base = str(tmp_path)
+    fix = os.path.join(base, "fix")
+    write_fixture(fix, 2000, seed=7)
+    seq_dir = os.path.join(base, "seq")
+    os.makedirs(seq_dir)
+    shutil.copy(
+        os.path.join(fix, "sequences.parquet"),
+        os.path.join(seq_dir, "part-0.parquet"),
+    )
+    # renamed redelivery: same contents, fresh doc_ids
+    t = pq.read_table(os.path.join(fix, "sequences.parquet"))
+    renamed = pa.table(
+        {
+            "doc_id": pa.array([f"re-{i:08d}" for i in range(t.num_rows)]),
+            "tokens": t["tokens"],
+            "n_tok": t["n_tok"],
+            "source": t["source"],
+        }
+    )
+    pq.write_table(renamed, os.path.join(seq_dir, "part-1.parquet"))
+
+    cat = ParquetCatalog(os.path.join(base, "tables"))
+    run_per_sink_delivery(
+        spark,
+        seq_dir,
+        os.path.join(fix, "source_meta.parquet"),
+        os.path.join(fix, "route_rules.parquet"),
+        cat,
+        os.path.join(base, "ckpt"),
+        dedup="content",
+    )
+
+    # sinks must equal the batch routing of the ORIGINAL file alone:
+    # every original row delivered, zero renamed copies admitted
+    from ves_spark.enrich import enrich
+    from ves_spark.parse import parse_builtin
+    from ves_spark.route import route
+
+    batch_seq = spark.read.parquet(os.path.join(fix, "sequences.parquet"))
+    meta = spark.read.parquet(os.path.join(fix, "source_meta.parquet"))
+    rules = spark.read.parquet(os.path.join(fix, "route_rules.parquet"))
+    routed = route(enrich(parse_builtin(batch_seq), meta), rules)
+    exp = {
+        r["sink"]: r["count"] for r in routed.groupBy("sink").count().collect()
+    }
+    for sink, cnt in exp.items():
+        tbl = cat.read(spark, f"sink_{sink}")
+        assert tbl.filter(F.col("doc_id").startswith("re-")).count() == 0
+        assert tbl.count() == cnt, f"sink {sink} diverged from batch routing"
+
+
 # ------------------------------------- k-means centroid training edges
 def test_kmeans_training_deterministic_and_empty_cluster_kept(spark):
     """Two identical corpus vectors seed two centroids; every member

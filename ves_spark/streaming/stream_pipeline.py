@@ -43,7 +43,22 @@ def dedup_stream(
     anti-join but the stream path previously did not. State is keyed
     by ``key`` in the state store (one shuffle) and evicted once the
     event-time watermark passes the row's timestamp + delay, so state
-    is bounded by the redelivery horizon, not the stream length."""
+    is bounded by the redelivery horizon, not the stream length.
+
+    ``key="content"`` dedups by token-array identity instead of
+    doc_id — the streaming counterpart of the batch pipeline's
+    ``dedup_content`` (pipeline.py::_dedup_content), using the SAME
+    two-xxhash64 128-bit identity so batch and stream agree on what
+    "the same document" means. State then holds two longs per distinct
+    content inside the watermark window, never the token arrays."""
+    if key == "content":
+        hashed = df.withColumn("_h1", F.xxhash64("tokens")).withColumn(
+            "_h2", F.xxhash64(F.lit("ves-content-dedup"), "tokens")
+        )
+        out = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_h1", "_h2"]
+        )
+        return out.drop("_h1", "_h2")
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
@@ -53,19 +68,23 @@ def stream_transform(
     source_meta_path: str,
     route_rules_path: str,
     parse_impl: str = "builtin",
-    dedup: bool = False,
+    dedup: bool | str = False,
 ) -> DataFrame:
     """parse -> [dedup] -> enrich -> route on a streaming frame.
 
     ``dedup=True`` inserts exactly-once-by-doc_id between parse and
     enrich (before route, which fans rows out 0..k-fold and would make
-    the identity non-unique). The stateless stages are shared verbatim
+    the identity non-unique); ``dedup="content"`` dedups by
+    token-array identity instead (the streaming counterpart of the
+    batch ``dedup_content``). The stateless stages are shared verbatim
     with the batch path."""
     meta = spark.read.parquet(source_meta_path)
     rules = spark.read.parquet(route_rules_path)
     parsed = parse(stream_df, parse_impl)
     if dedup:
-        parsed = dedup_stream(parsed)
+        parsed = dedup_stream(
+            parsed, key="content" if dedup == "content" else "doc_id"
+        )
     return route(enrich(parsed, meta), rules)
 
 
@@ -212,13 +231,14 @@ def run_per_sink_delivery(
     route_rules_path: str,
     catalog,
     checkpoint_dir: str,
-    dedup: bool = False,
+    dedup: bool | str = False,
 ) -> None:
     """Drive the routed stream to completion, delivering per-sink
     tables via foreachBatch (production shape; tests run it on a
     finite directory). ``dedup=True`` turns on exactly-once-by-doc_id
-    across micro-batches (``dedup_stream``) — opt-in because inputs
-    that legitimately re-use ids (append-style fixtures) would be
+    across micro-batches (``dedup_stream``); ``dedup="content"``
+    dedups by token-array identity — opt-in because inputs that
+    legitimately re-use ids (append-style fixtures) would be
     collapsed."""
     stream = open_stream(spark, sequences_dir)
     routed = stream_transform(
