@@ -52,7 +52,9 @@ def dup_fix(tmp_path_factory):
     return d
 
 
-def _conf(fix: str, out: str, run_id: str, dedup: bool = True) -> PipelineConfig:
+def _conf(
+    fix: str, out: str, run_id: str, dedup: bool = True, impl: str = "parquet"
+) -> PipelineConfig:
     return PipelineConfig(
         sequences_path=os.path.join(fix, "sequences.parquet"),
         source_meta_path=os.path.join(fix, "source_meta.parquet"),
@@ -62,6 +64,7 @@ def _conf(fix: str, out: str, run_id: str, dedup: bool = True) -> PipelineConfig
         units_per_increment=2,
         run_id=run_id,
         dedup_content=dedup,
+        catalog_impl=impl,
     )
 
 
@@ -141,17 +144,18 @@ def test_cross_batch_duplicate_dropped_against_history(
         os.remove(os.path.join(seq_dir, "part-dup-b.parquet"))
 
 
-def test_crash_resume_equals_single_shot(spark, dup_fix, tmp_path_factory):
+@pytest.mark.parametrize("impl", ["parquet", "snapshot"])
+def test_crash_resume_equals_single_shot(spark, dup_fix, tmp_path_factory, impl):
     single = Pipeline(
-        spark, _conf(dup_fix, str(tmp_path_factory.mktemp("cd_s")), "s")
+        spark, _conf(dup_fix, str(tmp_path_factory.mktemp("cd_s")), "s", impl=impl)
     )
     single.run()
 
     out = str(tmp_path_factory.mktemp("cd_c"))
-    crash = Pipeline(spark, _conf(dup_fix, out, "c1"))
+    crash = Pipeline(spark, _conf(dup_fix, out, "c1", impl=impl))
     with pytest.raises(RuntimeError, match="simulated crash"):
         crash.run(fail_after_units=2)
-    resumed = Pipeline(spark, _conf(dup_fix, out, "c2"))
+    resumed = Pipeline(spark, _conf(dup_fix, out, "c2", impl=impl))
     resumed.run()
 
     assert _routed_sorted(resumed) == _routed_sorted(single)
