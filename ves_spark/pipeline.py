@@ -105,6 +105,12 @@ class Pipeline:
     # sketch size for the per-(unit, sink) doc_id cardinality partials:
     # 256 gives ~6% relative stderr, and each partial row is ≤2 KiB
     KMV_K = 256
+    # count-min geometry for the per-(unit, sink) token-TRIGRAM
+    # frequency partials (operators/cms.py): 4×512 longs = 16 KiB per
+    # partial row, point error ≤ 2N/512 with prob ≥ 1 - 2^-4
+    CMS_DEPTH = 4
+    CMS_WIDTH = 512
+    CMS_GRAM_K = 3
 
     def __init__(self, spark: SparkSession, conf: PipelineConfig):
         self.spark = spark
@@ -240,6 +246,7 @@ class Pipeline:
         self.catalog.delete_partitions("rollup_partial", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("hdr_partial", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("kmv_partial", [{"batch_seq": batch_seq}])
+        self.catalog.delete_partitions("cms_partial", [{"batch_seq": batch_seq}])
         self.catalog.delete_partitions("seen_content", [{"batch_seq": batch_seq}])
         self.store.record_retire(batch_seq, self.conf.run_id, reason)
 
@@ -455,6 +462,7 @@ class Pipeline:
             "rollup_partial",
             "hdr_partial",
             "kmv_partial",
+            "cms_partial",
             "seen_content",
         ):
             self.catalog.delete_partitions(t, stale)
@@ -541,6 +549,45 @@ class Pipeline:
         self.catalog.overwrite_partitions(
             kmv.repartition("unit_id"),
             "kmv_partial",
+            ["batch_seq", "unit_id"],
+        )
+
+        # Mergeable token-trigram frequency partials: per-(unit, sink)
+        # count-min sketch (operators/cms.py). Trigram space is
+        # vocab³-unbounded, so unlike the exact rollup partials this
+        # one MUST be a sketch; trigram_freq_per_sink merges the
+        # fixed-size counter arrays instead of ever re-hashing the
+        # routed corpus. Own column-pruned read: routed_back's
+        # localCheckpoint deliberately excludes the heavy tokens
+        # column, and parquet serves just (sink, tokens) here.
+        from ves_spark.operators.cms import cms_sketch
+        from ves_spark.operators.token_dedup import _gram_hash_expr
+
+        grams = (
+            self.catalog.read(self.spark, "routed")
+            .filter(F.col("batch_seq") == batch_seq)
+            .filter(F.col("unit_id").isin(units))
+            .select(
+                "batch_seq",
+                "unit_id",
+                "sink",
+                F.explode(
+                    F.expr(
+                        _gram_hash_expr("tokens", self.CMS_GRAM_K, "xxhash64")
+                    )
+                ).alias("gram"),
+            )
+        )
+        cms = cms_sketch(
+            grams,
+            "gram",
+            ["batch_seq", "unit_id", "sink"],
+            depth=self.CMS_DEPTH,
+            width=self.CMS_WIDTH,
+        )
+        self.catalog.overwrite_partitions(
+            cms.repartition("unit_id"),
+            "cms_partial",
             ["batch_seq", "unit_id"],
         )
 
@@ -674,3 +721,54 @@ class Pipeline:
             kmv_merge_agg("mins", self.KMV_K).alias("mins")
         )
         return merged.select("sink", *kmv_estimate_cols(self.KMV_K))
+
+    def trigram_freq_per_sink(self, trigrams: list[list[int]]) -> DataFrame:
+        """Estimated corpus frequency of each given token trigram per
+        sink, from the committed ``cms_partial`` table: (sink, tri_id,
+        est_count). Never re-hashes the routed corpus — it tree-merges
+        the fixed 4×512 counter arrays (per (sink, batch) first, then
+        per sink, same two-level shape as the KMV merge). Estimates
+        are one-sided: est_count >= the true delivered count, within
+        2N/width of it with prob ≥ 1 - 2^-depth."""
+        from ves_spark.operators.cms import (
+            cms_estimate,
+            cms_merge_agg,
+        )
+
+        bad = [t for t in trigrams if len(t) != self.CMS_GRAM_K]
+        if bad:
+            raise ValueError(
+                f"trigram_freq_per_sink: every query must have exactly "
+                f"{self.CMS_GRAM_K} tokens, got {bad[0]!r}"
+            )
+        partials = self.catalog.read(self.spark, "cms_partial")
+        per_batch = partials.groupBy("sink", "batch_seq").agg(
+            cms_merge_agg("counters").alias("counters")
+        )
+        merged = per_batch.groupBy("sink").agg(
+            cms_merge_agg("counters").alias("counters")
+        )
+        # gram identity must match _process_increment's builder:
+        # xxhash64 over the array<int> token window
+        queries = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("tri_id"),
+                    F.xxhash64(
+                        F.array(*[F.lit(int(t)).cast("int") for t in tri])
+                    ).alias("gram"),
+                )
+                for i, tri in enumerate(trigrams)
+            ]
+        )
+        rows = merged.select("sink", "counters", F.explode(queries).alias("q"))
+        return rows.select(
+            "sink",
+            F.col("q.tri_id").alias("tri_id"),
+            cms_estimate(
+                "counters",
+                F.col("q.gram"),
+                depth=self.CMS_DEPTH,
+                width=self.CMS_WIDTH,
+            ).alias("est_count"),
+        )
