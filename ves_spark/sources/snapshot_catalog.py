@@ -83,6 +83,9 @@ class LocalSnapshotCatalog(TableCatalog):
             "current_snapshot_id": meta["current_snapshot_id"] + 1,
             "snapshots": list(meta["snapshots"]),
             "live": {k: list(v) for k, v in meta["live"].items()},
+            # smallest snapshot id whose history entry is still
+            # retained; ids below it were expired (see expire_snapshots)
+            "expired_below": meta.get("expired_below", 1),
         }
 
     # ------------------------------------------------------ data write
@@ -221,6 +224,16 @@ class LocalSnapshotCatalog(TableCatalog):
         end = end_snapshot_id if end_snapshot_id is not None else meta[
             "current_snapshot_id"
         ]
+        # an expired snapshot inside (start, end] would make the read
+        # silently PARTIAL — refuse loudly instead (Iceberg raises the
+        # same way when a range crosses expired snapshots)
+        expired_below = meta.get("expired_below", 1)
+        if start_snapshot_id < expired_below - 1:
+            raise ValueError(
+                f"incremental read from snapshot {start_snapshot_id} "
+                f"crosses expired history (snapshots below "
+                f"{expired_below} were expired); re-read the full table"
+            )
         in_range = [
             s for s in meta["snapshots"] if start_snapshot_id < s["id"] <= end
         ]
@@ -260,3 +273,95 @@ class LocalSnapshotCatalog(TableCatalog):
         emulated_merge(
             spark, self, name, updates, keys, order_col, n_buckets, tiebreak
         )
+
+    # --------------------------------------------------- maintenance
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 10,
+        orphan_age_s: float = 3600.0,
+        max_meta_versions: int = 10,
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files``:
+        reclaim the data dirs that partition-overwrite / retire churn
+        strands, without touching current-state readability.
+
+        Retains the last ``keep_last`` snapshot HISTORY entries plus
+        every data dir the ``live`` map still references (an old
+        append whose spec was never overwritten stays readable even
+        after its history entry expires). Commit-then-clean: the
+        pruned metadata version is renamed into place FIRST, then
+        unreferenced dirs are deleted — a crash in between leaves
+        orphans that the next call re-collects (idempotent).
+        Incremental reads that would cross the expired range raise in
+        ``read_incremental`` via the committed ``expired_below``
+        fence; ``current_snapshot_id`` never changes (maintenance is
+        not a new snapshot, exactly like Iceberg)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot is always retained)")
+        meta = self._load_meta(name)
+        if meta is None:
+            raise FileNotFoundError(f"snapshot table does not exist: {name}")
+        snaps = meta["snapshots"]
+        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if expired:
+            new_meta = {
+                "version": meta["version"] + 1,
+                "current_snapshot_id": meta["current_snapshot_id"],
+                "snapshots": retained,
+                "live": meta["live"],
+                "expired_below": retained[0]["id"]
+                if retained
+                else meta["current_snapshot_id"] + 1,
+            }
+            self._commit_meta(name, new_meta)
+            meta = new_meta
+        removed = self.remove_orphan_files(name, orphan_age_s=orphan_age_s)
+        pruned_meta = self._prune_meta_versions(name, max_meta_versions)
+        return {
+            "expired_snapshots": len(expired),
+            "removed_dirs": removed,
+            "pruned_meta_versions": pruned_meta,
+        }
+
+    def remove_orphan_files(self, name: str, orphan_age_s: float = 3600.0) -> list[str]:
+        """Delete data dirs referenced by neither the live map nor any
+        retained snapshot entry. ``orphan_age_s`` guards the inherent
+        race with an in-flight writer whose dir is not yet committed
+        (Iceberg's remove_orphan_files has the same age threshold):
+        only dirs older than the threshold are swept."""
+        import shutil
+        import time
+
+        meta = self._load_meta(name)
+        if meta is None:
+            raise FileNotFoundError(f"snapshot table does not exist: {name}")
+        referenced = {e[0] for v in meta["live"].values() for e in v} | {
+            s["dir"] for s in meta["snapshots"] if s["dir"]
+        }
+        data_root = os.path.join(self._tdir(name), "data")
+        if not os.path.isdir(data_root):
+            return []
+        removed = []
+        now = time.time()
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if d in referenced or not os.path.isdir(full):
+                continue
+            if now - os.path.getmtime(full) < orphan_age_s:
+                continue  # possibly an in-flight uncommitted write
+            shutil.rmtree(full)
+            removed.append(d)
+        return removed
+
+    def _prune_meta_versions(self, name: str, max_versions: int) -> int:
+        """Keep only the newest ``max_versions`` metadata files (the
+        loader reads the latest; older files exist for debugging)."""
+        md = self._meta_dir(name)
+        versions = sorted(
+            f for f in os.listdir(md) if f.startswith("v") and f.endswith(".json")
+        )
+        stale = versions[:-max_versions] if max_versions > 0 else []
+        for f in stale:
+            os.remove(os.path.join(md, f))
+        return len(stale)
