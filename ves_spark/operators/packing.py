@@ -181,3 +181,101 @@ def deterministic_shuffle(
     return keyed.repartitionByRange(int(parts), order_col, key_col).sortWithinPartitions(
         order_col, key_col
     )
+
+
+def pack_best_fit(
+    df: DataFrame,
+    capacity: int,
+    stream_cols: list[str] | None = None,
+    doc_col: str = "doc_id",
+    size_col: str = "n_tok",
+) -> DataFrame:
+    """No-split packing: assign each whole doc to exactly one bin of
+    at most ``capacity`` tokens, minimizing padding — the SFT-style
+    packing where an example must never span a boundary (unlike
+    ``pack_chunks``' GPT-style concat-and-slice).
+
+    Algorithm: first-fit-decreasing per stream (sort by size desc,
+    ``doc_col`` asc tiebreak; place each doc in the lowest-indexed bin
+    with room, else open a new one) — the classic 11/9·OPT + 6/9
+    guarantee, fully deterministic. FFD is inherently sequential, so
+    this is the documented pandas tier: ONE ``applyInPandas`` kernel
+    per stream group, numpy residual array inside. Bound the group
+    with the same sharding discipline as ``pack_chunks_sharded``
+    (pass (source, shard) stream cols) — the kernel's memory is
+    O(docs-in-stream) and its time O(docs × bins).
+
+    Output: stream cols + (doc, size, ``bin_id``) — bin ids are
+    0-based and dense per stream. Docs larger than ``capacity``
+    RAISE (truncate upstream; silently dropping them would corrupt
+    exactly-once accounting).
+    """
+    import pandas as pd
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    streams = list(stream_cols) if stream_cols else ["source"]
+
+    # mirror the input's actual types (stream cols are often numeric
+    # shard ids, not strings)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {types[c]}" for c in streams]
+        + [f"`{doc_col}` {types[doc_col]}", f"`{size_col}` long", "bin_id long"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        sizes_all = pdf[size_col].to_numpy()
+        over = sizes_all > capacity
+        if over.any():
+            bad = pdf[doc_col].to_numpy()[over][0]
+            raise ValueError(
+                f"doc {bad!r} has {int(sizes_all[over][0])} tokens > "
+                f"capacity {capacity}; truncate before packing"
+            )
+        p = pdf.sort_values(
+            [size_col, doc_col], ascending=[False, True], kind="mergesort"
+        )
+        sizes = p[size_col].to_numpy()
+        residual = np.empty(len(p), dtype=np.int64)  # worst case: 1 bin/doc
+        n_bins = 0
+        bin_ids = np.empty(len(p), dtype=np.int64)
+        for i, s in enumerate(sizes):
+            fit = np.nonzero(residual[:n_bins] >= s)[0]
+            if fit.size:
+                b = int(fit[0])  # FIRST-fit among open bins
+            else:
+                b = n_bins
+                residual[b] = capacity
+                n_bins += 1
+            residual[b] -= s
+            bin_ids[i] = b
+        out = p[streams + [doc_col]].copy()
+        out[size_col] = sizes.astype("int64")
+        out["bin_id"] = bin_ids
+        return out
+
+    return df.select(*streams, doc_col, size_col).groupBy(*streams).applyInPandas(
+        kernel, out_schema
+    )
+
+
+def packing_stats(
+    packed: DataFrame,
+    capacity: int,
+    stream_cols: list[str] | None = None,
+    size_col: str = "n_tok",
+) -> DataFrame:
+    """Per-stream fill accounting for a :func:`pack_best_fit` result:
+    n_bins, n_docs, token total, and fill = tokens / (n_bins * C)."""
+    streams = list(stream_cols) if stream_cols else ["source"]
+    return packed.groupBy(*streams).agg(
+        (F.max("bin_id") + 1).alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).alias("tokens"),
+        (
+            F.sum(size_col) / ((F.max("bin_id") + 1) * F.lit(float(capacity)))
+        ).alias("fill"),
+    )
