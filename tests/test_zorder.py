@@ -161,3 +161,30 @@ def test_bad_args_raise(spark):
         zorder_value(df, ["x"])
     with pytest.raises(ValueError, match="within a long"):
         zorder_value(df, ["x", "y"], bits=32)
+
+
+def test_compact_with_zorder_recluster(spark, tmp_path):
+    from ves_spark.sources.sizing import compact_small_files
+
+    p = str(tmp_path / "appends")
+    # simulate incremental appends: many small commits, no global layout
+    base = spark.range(30_000).select(
+        F.pmod(F.xxhash64("id", F.lit(7)), 1000).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(8)), 1000).alias("y"),
+    )
+    for i in range(5):
+        base.where(F.pmod(F.col("x") + i, 5) == 0).coalesce(3).write.mode(
+            "append"
+        ).parquet(p)
+    rows_before = spark.read.parquet(p).count()
+    stats = compact_small_files(
+        spark, p, target_file_bytes=1 << 14, zorder_cols=["x", "y"]
+    )
+    assert stats["clustered"] == {"zorder": ["x", "y"]}
+    assert spark.read.parquet(p).count() == rows_before
+    # after the z-ordered rewrite, a y-only box prunes files
+    zr = _file_ranges(p, ["x", "y"])
+    assert len(zr) >= 8
+    assert len(_overlapping(zr, {"y": (0, 62)})) <= len(zr) // 2
+    with pytest.raises(ValueError, match="not both"):
+        compact_small_files(spark, p, cluster_cols=["x"], zorder_cols=["x", "y"])

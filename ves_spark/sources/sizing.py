@@ -121,6 +121,7 @@ def compact_small_files(
     path: str,
     target_file_bytes: int = 128 << 20,
     cluster_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite a parquet directory into target-sized files — the
     maintenance pass for tables that accumulated small files from many
@@ -134,13 +135,26 @@ def compact_small_files(
     partial mix — same delete-then-record discipline as the lineage
     compaction (`checkpoint.py::compact`). NOT safe under a concurrent
     writer to ``path``; run it like any table-maintenance job, from
-    the single maintenance owner."""
+    the single maintenance owner.
+
+    ``zorder_cols`` re-clusters the rewrite on the Morton curve of
+    those columns (``sources/zorder.py``) instead of a 1-D range —
+    the compaction pass is exactly where incremental appends (each
+    clustered only within its own commit) get globally re-laid-out
+    for multi-dimensional footer-stat pruning."""
+    if cluster_cols and zorder_cols:
+        raise ValueError("pass cluster_cols OR zorder_cols, not both")
     before = [
         f for f in os.listdir(path) if f.endswith(".parquet")
     ]
     df = spark.read.parquet(path)
     tmp_new = path.rstrip("/") + f"._compact_{uuid.uuid4().hex}"
-    stats = write_sized(df, tmp_new, target_file_bytes, cluster_cols=cluster_cols)
+    if zorder_cols:
+        from ves_spark.sources.zorder import write_zordered
+
+        stats = write_zordered(df, tmp_new, zorder_cols, target_file_bytes=target_file_bytes)
+    else:
+        stats = write_sized(df, tmp_new, target_file_bytes, cluster_cols=cluster_cols)
     trash = path.rstrip("/") + f"._trash_{uuid.uuid4().hex}"
     os.rename(path, trash)
     os.rename(tmp_new, path)
@@ -148,4 +162,6 @@ def compact_small_files(
     stats["files_before"] = len(before)
     if cluster_cols:
         stats["clustered"] = cluster_cols
+    if zorder_cols:
+        stats["clustered"] = {"zorder": zorder_cols}
     return stats
