@@ -164,3 +164,21 @@ def test_crash_resume_equals_single_shot(spark, dup_fix, tmp_path_factory, impl)
     stats = again.run()
     assert stats["units_processed"] == 0
     assert stats["docs_dropped_dup"] == 0
+
+
+def test_reused_pipeline_reports_per_run_drops(spark, dup_fix, tmp_path_factory):
+    """A long-lived Pipeline in a rescan loop must report each run()'s
+    OWN drop count, not the lifetime cumulative."""
+    out = str(tmp_path_factory.mktemp("cd_reuse"))
+    pipe = Pipeline(spark, _conf(dup_fix, out, "loop"))
+    first = pipe.run()
+    assert first["docs_dropped_dup"] > 0
+
+    seq_dir = os.path.join(dup_fix, "sequences.parquet")
+    _plant_dups(seq_dir, 10, "loop2")
+    try:
+        second = pipe.run()  # SAME Pipeline object, new increment
+        assert second["docs_dropped_dup"] == 10
+        assert pipe.dup_docs_dropped == first["docs_dropped_dup"] + 10
+    finally:
+        os.remove(os.path.join(seq_dir, "part-dup-loop2.parquet"))

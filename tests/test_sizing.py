@@ -228,3 +228,118 @@ def test_pipeline_target_file_bytes_caps_routed_files(
     )
     assert ctl._routed_rows_per_file is None
     assert ctl_max > cap
+
+
+def _all_parquet_files(path):
+    return sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """A hive-partitioned table (the catalog's batch_seq=N layout) is
+    compacted per leaf partition dir — layout preserved, so the
+    directory-based retraction protocol (delete a batch_seq dir) keeps
+    working on the compacted table."""
+    path = str(tmp_path / "ptbl")
+    for b in range(3):
+        for _ in range(4):  # 4 small appends per partition
+            spark.range(100).select(
+                F.lit(b).alias("batch_seq"),
+                F.col("id"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            ).coalesce(1).write.mode("append").partitionBy("batch_seq").parquet(path)
+    before = spark.read.parquet(path)
+    before_pdf = before.orderBy("batch_seq", "id").toPandas()
+    files_before = len(_all_parquet_files(path))
+    assert files_before >= 12
+
+    stats = compact_small_files(spark, path, target_file_bytes=64 << 20)
+    assert stats["partitions_compacted"] == 3
+    assert stats["files_before"] == files_before
+    assert len(_all_parquet_files(path)) < files_before
+    # partition dirs intact, partition column still derived from dirs
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("batch_seq=")
+    ) == ["batch_seq=0", "batch_seq=1", "batch_seq=2"]
+    after = spark.read.parquet(path)
+    assert after.orderBy("batch_seq", "id").toPandas().equals(before_pdf)
+    # retraction protocol: dropping one partition dir drops exactly it
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "batch_seq=1"))
+    left = spark.read.parquet(path)
+    assert left.count() == 800
+    assert sorted(
+        r["batch_seq"] for r in left.select("batch_seq").distinct().collect()
+    ) == [0, 2]
+
+
+def test_compact_recovers_from_crash_window(spark, tmp_path):
+    """A crash between the two swap renames leaves no live dir but a
+    complete sibling; the next compact_small_files call repairs it."""
+    import shutil
+    import uuid as _uuid
+
+    path = str(tmp_path / "ctbl")
+    for i in range(4):
+        spark.range(i * 50, (i + 1) * 50).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    # crash state A: live renamed to trash, compact copy complete
+    compact = path + f"._compact_{_uuid.uuid4().hex}"
+    shutil.copytree(path, compact)
+    trash = path + f"._trash_{_uuid.uuid4().hex}"
+    os.rename(path, trash)
+    assert not os.path.exists(path)
+    compact_small_files(spark, path, target_file_bytes=64 << 20)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == rows
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if "_compact_" in d or "_trash_" in d]
+
+    # crash state B: only the trash copy survives (crash before the
+    # compact write completed was cleaned, live rename already done)
+    trash = path + f"._trash_{_uuid.uuid4().hex}"
+    os.rename(path, trash)
+    compact_small_files(spark, path, target_file_bytes=64 << 20)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == rows
+    assert not [d for d in os.listdir(parent) if "_compact_" in d or "_trash_" in d]
+
+    # crash state C: live intact, stale siblings lying around → removed
+    shutil.copytree(path, path + f"._compact_{_uuid.uuid4().hex}")
+    shutil.copytree(path, path + f"._trash_{_uuid.uuid4().hex}")
+    compact_small_files(spark, path, target_file_bytes=64 << 20)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == rows
+    assert not [d for d in os.listdir(parent) if "_compact_" in d or "_trash_" in d]
+
+
+def test_compact_crash_recovery_inside_partitioned_table(spark, tmp_path):
+    """Same repair, but for a leaf partition dir inside a hive table —
+    the missing leaf is found via its sibling markers, not the
+    (absent) leaf itself."""
+    import shutil
+    import uuid as _uuid
+
+    path = str(tmp_path / "ptbl2")
+    for b in range(2):
+        spark.range(100).select(
+            F.lit(b).alias("batch_seq"), F.col("id")
+        ).coalesce(1).write.mode("append").partitionBy("batch_seq").parquet(path)
+    before = spark.read.parquet(path).orderBy("batch_seq", "id").toPandas()
+
+    leaf = os.path.join(path, "batch_seq=1")
+    shutil.copytree(leaf, leaf + f"._compact_{_uuid.uuid4().hex}")
+    os.rename(leaf, leaf + f"._trash_{_uuid.uuid4().hex}")
+    assert not os.path.exists(leaf)
+
+    compact_small_files(spark, path, target_file_bytes=64 << 20)
+    after = spark.read.parquet(path).orderBy("batch_seq", "id").toPandas()
+    assert after.equals(before)
+    assert not [
+        d for d in os.listdir(path) if "_compact_" in d or "_trash_" in d
+    ]

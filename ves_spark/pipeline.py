@@ -115,7 +115,8 @@ class Pipeline:
     def __init__(self, spark: SparkSession, conf: PipelineConfig):
         self.spark = spark
         self.conf = conf
-        # docs dropped by content dedup this run (conf.dedup_content)
+        # lifetime count of docs dropped by content dedup across every
+        # run() of this Pipeline; run() stats report the per-run delta
         self.dup_docs_dropped = 0
         self.store = LineageStore(
             f"{conf.out_dir}/lineage", compact_every=conf.lineage_compact_every
@@ -428,6 +429,9 @@ class Pipeline:
         t0 = time.monotonic()
         n_done = 0
         rows_total = 0
+        # per-run accounting: a reused Pipeline (steady-state rescan
+        # loop) must not report prior runs' drops in this run's stats
+        dropped_at_start = self.dup_docs_dropped
         step = self.conf.units_per_increment
         for batch_seq, files, pending in self.discover():
             for i in range(0, len(pending), step):
@@ -443,7 +447,7 @@ class Pipeline:
             "wall_sec": time.monotonic() - t0,
         }
         if self.conf.dedup_content:
-            stats["docs_dropped_dup"] = self.dup_docs_dropped
+            stats["docs_dropped_dup"] = self.dup_docs_dropped - dropped_at_start
         return stats
 
     def _process_increment(

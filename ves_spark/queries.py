@@ -866,8 +866,9 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 def dedup_components(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the n-gram
     Jaccard pair graph (near-dup relations chain — A~B~C needs the
-    whole component to pick one keeper). Spark side is iterative
-    hash-min label propagation (operators/components.py); the oracle
+    whole component to pick one keeper). Spark side is alternating
+    large-star/small-star rounds (operators/components.py, O(log²)
+    rounds on any graph shape); the oracle
     is the full transitive closure as a DuckDB recursive CTE — an
     iterative DataFrame algorithm proven against recursive SQL."""
     from ves_spark.operators.components import connected_components

@@ -116,6 +116,80 @@ def write_sized(
     }
 
 
+def _recover_swap(path: str) -> None:
+    """Repair an interrupted :func:`_swap_in` at ``path``.
+
+    The swap protocol is: write ``<path>._compact_*`` completely, then
+    ``rename(path, <path>._trash_*)``, then ``rename(compact, path)``,
+    then remove trash. A crash between the two renames leaves NO live
+    dir — but always a COMPLETE sibling. Recovery: if ``path`` is
+    missing, promote the compact copy (the swap's intended outcome) or
+    else restore the trash copy; leftover siblings from crashes on
+    either side of the window are then removed."""
+    base = path.rstrip("/")
+    parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+    if not os.path.isdir(parent):
+        return
+    compacts = sorted(
+        os.path.join(parent, f)
+        for f in os.listdir(parent)
+        if f.startswith(name + "._compact_")
+    )
+    trashes = sorted(
+        os.path.join(parent, f)
+        for f in os.listdir(parent)
+        if f.startswith(name + "._trash_")
+    )
+    if not os.path.exists(base):
+        if compacts:
+            os.rename(compacts.pop(), base)
+        elif trashes:
+            os.rename(trashes.pop(), base)
+    for leftover in compacts + trashes:
+        shutil.rmtree(leftover, ignore_errors=True)
+
+
+def _swap_in(write_new, path: str) -> dict:
+    """Crash-recoverable directory replace: ``write_new(tmp_dir)``
+    builds the complete replacement, then two renames swap it live.
+    A crash at any point leaves a complete copy of the table either at
+    ``path`` or in one deterministic-prefixed sibling; the next
+    :func:`compact_small_files` call on ``path`` auto-repairs via
+    :func:`_recover_swap`. Readers racing the two-rename window can
+    see a transient missing dir — maintenance runs from the single
+    maintenance owner, quiesced, like any table rewrite."""
+    tmp_new = path.rstrip("/") + f"._compact_{uuid.uuid4().hex}"
+    stats = write_new(tmp_new)
+    trash = path.rstrip("/") + f"._trash_{uuid.uuid4().hex}"
+    os.rename(path, trash)
+    os.rename(tmp_new, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return stats
+
+
+def _leaf_dirs(path: str) -> list[str]:
+    """Leaf data directories under a (possibly hive-partitioned)
+    parquet table root: dirs that directly hold ``*.parquet`` files.
+    Swap-protocol siblings (``._compact_*``/``._trash_*``) and other
+    dot/underscore entries are never descended into."""
+    leaves = []
+    stack = [path.rstrip("/")]
+    while stack:
+        d = stack.pop()
+        entries = os.listdir(d)
+        if any(f.endswith(".parquet") for f in entries):
+            leaves.append(d)
+        stack.extend(
+            os.path.join(d, f)
+            for f in entries
+            if os.path.isdir(os.path.join(d, f))
+            and not f.startswith((".", "_"))
+            and "._compact_" not in f
+            and "._trash_" not in f
+        )
+    return sorted(leaves)
+
+
 def compact_small_files(
     spark,
     path: str,
@@ -123,19 +197,27 @@ def compact_small_files(
     cluster_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
 ) -> dict:
-    """Rewrite a parquet directory into target-sized files — the
+    """Rewrite a parquet table into target-sized files — the
     maintenance pass for tables that accumulated small files from many
     incremental appends (every `_process_increment` commit is its own
     file set). Equivalent to Iceberg's ``rewrite_data_files``.
 
-    The rewrite is crash-safe: the resized copy is written to a
-    sibling temp dir first, then swapped in with two renames (old →
-    trash, new → live, trash removed last), so a crash leaves either
-    the complete old directory or the complete new one, never a
-    partial mix — same delete-then-record discipline as the lineage
-    compaction (`checkpoint.py::compact`). NOT safe under a concurrent
-    writer to ``path``; run it like any table-maintenance job, from
-    the single maintenance owner.
+    Hive-partitioned tables (``key=value`` subdirectories, e.g. the
+    catalog's ``batch_seq=N/...`` layout) are compacted PER LEAF
+    PARTITION DIRECTORY, preserving the directory layout exactly — so
+    partition-dir protocols (``delete_partitions`` retraction, dynamic
+    partition overwrite) keep working on the compacted table, and
+    clustering happens where it matters (within files inside a
+    partition; partition pruning already handles the partition keys).
+
+    Each leaf rewrite is crash-RECOVERABLE: the resized copy is
+    written to a complete sibling temp dir first, then swapped in with
+    two renames (old → trash, new → live, trash removed last). A crash
+    between the renames leaves no live dir but always a complete
+    sibling copy; the next ``compact_small_files`` call repairs it
+    (promote the compact copy, else restore trash — ``_recover_swap``).
+    NOT safe under a concurrent writer or reader of ``path``; run it
+    like any table-maintenance job, from the single maintenance owner.
 
     ``zorder_cols`` re-clusters the rewrite on the Morton curve of
     those columns (``sources/zorder.py``) instead of a 1-D range —
@@ -144,22 +226,50 @@ def compact_small_files(
     for multi-dimensional footer-stat pruning."""
     if cluster_cols and zorder_cols:
         raise ValueError("pass cluster_cols OR zorder_cols, not both")
-    before = [
-        f for f in os.listdir(path) if f.endswith(".parquet")
-    ]
-    df = spark.read.parquet(path)
-    tmp_new = path.rstrip("/") + f"._compact_{uuid.uuid4().hex}"
-    if zorder_cols:
-        from ves_spark.sources.zorder import write_zordered
+    # Recovery keys off leftover SIBLING dirs, not surviving leaves: a
+    # crash mid-swap leaves the leaf itself missing, so walk the tree
+    # for swap markers and repair each marked base path first.
+    _recover_swap(path)
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            for marker in ("._compact_", "._trash_"):
+                if marker in d:
+                    _recover_swap(os.path.join(root, d.split(marker)[0]))
+                    dirs.remove(d)
+                    break
 
-        stats = write_zordered(df, tmp_new, zorder_cols, target_file_bytes=target_file_bytes)
-    else:
-        stats = write_sized(df, tmp_new, target_file_bytes, cluster_cols=cluster_cols)
-    trash = path.rstrip("/") + f"._trash_{uuid.uuid4().hex}"
-    os.rename(path, trash)
-    os.rename(tmp_new, path)
-    shutil.rmtree(trash, ignore_errors=True)
-    stats["files_before"] = len(before)
+    def _compact_one(leaf: str) -> dict:
+        df = spark.read.parquet(leaf)
+
+        def _write(tmp_new: str) -> dict:
+            if zorder_cols:
+                from ves_spark.sources.zorder import write_zordered  # noqa: PLC0415
+
+                return write_zordered(
+                    df, tmp_new, zorder_cols, target_file_bytes=target_file_bytes
+                )
+            return write_sized(
+                df, tmp_new, target_file_bytes, cluster_cols=cluster_cols
+            )
+
+        return _swap_in(_write, leaf)
+
+    leaves = _leaf_dirs(path)
+    if not leaves:
+        raise ValueError(f"no parquet data under {path!r}")
+    before = sum(
+        1 for d in leaves for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    stats: dict = {"n_files": 0, "rows_per_file": 0, "row_bytes": 0.0}
+    for leaf in leaves:
+        s = _compact_one(leaf)
+        # write_sized and write_zordered report slightly different key
+        # sets; sum/max what each provides
+        stats["n_files"] += s.get("n_files", 0)
+        stats["rows_per_file"] = max(stats["rows_per_file"], s.get("rows_per_file", 0))
+        stats["row_bytes"] = max(stats["row_bytes"], s.get("row_bytes", 0.0))
+    stats["files_before"] = before
+    stats["partitions_compacted"] = len(leaves)
     if cluster_cols:
         stats["clustered"] = cluster_cols
     if zorder_cols:
