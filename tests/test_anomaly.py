@@ -78,7 +78,7 @@ def test_matches_duckdb_window_sql(spark):
                  sqrt(var_pop(CAST(cnt AS DOUBLE)) OVER win) AS base_std
           FROM rollup
           WINDOW win AS (PARTITION BY sink ORDER BY t
-                         ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+                         RANGE BETWEEN 8 PRECEDING AND 1 PRECEDING)
         )
         SELECT sink, t,
                CASE WHEN base_n >= 3 AND base_std > 0
@@ -104,3 +104,39 @@ def test_bad_lookback_raises(spark):
         detect_rate_spikes(
             _series(spark), ["sink"], time_col="t", lookback=2
         )
+
+
+def test_idle_gap_does_not_score_against_stale_baseline(spark):
+    """Rollups only hold buckets with events. A service that resumes
+    after a long idle gap must NOT be z-scored against pre-gap rows as
+    if adjacent (a restart burst after downtime is the classic false
+    positive of a rows-based trailing frame)."""
+    rows = [("svc_gap", t, 100 + (t % 3)) for t in range(10)]
+    rows.append(("svc_gap", 100, 1000))  # resumes far past the lookback span
+    df = spark.createDataFrame(rows, "sink string, t int, cnt long")
+    got = detect_rate_spikes(df, ["sink"], time_col="t", lookback=8)
+    by_t = {r["t"]: r for r in got.collect()}
+    assert by_t[100]["base_n"] == 0  # nothing within (100-8, 100)
+    assert not by_t[100]["is_spike"]
+    # and the same burst IS flagged when it arrives adjacent to history
+    adj = spark.createDataFrame(
+        rows[:10] + [("svc_gap", 10, 1000)], "sink string, t int, cnt long"
+    )
+    got_adj = detect_rate_spikes(adj, ["sink"], time_col="t", lookback=8)
+    assert {r["t"] for r in got_adj.collect() if r["is_spike"]} == {10}
+
+
+def test_timestamp_bucket_width(spark):
+    """Timestamp time_col: bucket_width is seconds between buckets; the
+    range frame spans lookback*width seconds of trailing history."""
+    rows = [("s", f"2025-01-01 00:{5*t:02d}:00", 100) for t in range(8)]
+    rows.append(("s", "2025-01-01 00:40:00", 1200))
+    df = spark.createDataFrame(
+        rows, "sink string, ts string, cnt long"
+    ).select("sink", F.to_timestamp("ts").alias("ts"), "cnt")
+    got = detect_rate_spikes(
+        df, ["sink"], time_col="ts", lookback=6, bucket_width=300
+    )
+    spikes = [r for r in got.collect() if r["is_spike"]]
+    assert len(spikes) == 1 and spikes[0]["ts"].minute == 40
+    assert spikes[0]["base_n"] == 6  # exactly the 6 in-span buckets

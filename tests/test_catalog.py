@@ -66,3 +66,61 @@ def test_merge_newer_predicate_matches_emulated_tiebreak():
             f"SELECT {pred1} FROM (SELECT {so} AS o) s, (SELECT {to} AS o) t"
         ).fetchone()[0]
         assert got == (so >= to)
+
+
+def test_iceberg_translates_sizing_options():
+    """The DSv2 Iceberg writer ignores v1's maxRecordsPerFile; the
+    logical target_file_bytes key must surface as Iceberg's own
+    target-file-size-bytes option (and the v1 key must be dropped, not
+    forwarded as an unknown option). Stubbed writer — the jar is
+    environment-blocked (ICEBERG.md)."""
+
+    class _W:
+        def __init__(self):
+            self.opts = {}
+            self.committed = False
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def overwritePartitions(self):
+            self.committed = True
+
+    class _DF:
+        def __init__(self, w):
+            self.w = w
+
+        def writeTo(self, name):
+            self.w.table = name
+            return self.w
+
+    cat = IcebergCatalog.__new__(IcebergCatalog)
+    cat.catalog = "ves"
+    w = _W()
+    cat.overwrite_partitions(
+        _DF(w),
+        "routed",
+        ["batch_seq"],
+        options={"maxRecordsPerFile": 123456, "target_file_bytes": 128 << 20},
+    )
+    assert w.committed and w.table == "ves.routed"
+    assert w.opts == {"target-file-size-bytes": str(128 << 20)}
+
+
+def test_parquet_overwrite_drops_logical_sizing_key(spark, tmp_path):
+    """The v1 path must honor maxRecordsPerFile while swallowing the
+    logical target_file_bytes key (it is metadata for the Iceberg
+    translation, not a parquet writer option)."""
+    import os
+
+    cat = ParquetCatalog(str(tmp_path))
+    df = spark.range(200).withColumn("p", F.lit(0)).coalesce(1)
+    cat.overwrite_partitions(
+        df, "t", ["p"],
+        options={"maxRecordsPerFile": 50, "target_file_bytes": 999},
+    )
+    leaf = os.path.join(str(tmp_path), "t", "p=0")
+    files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    assert len(files) >= 4  # 200 rows / 50-row cap
+    assert cat.read(spark, "t").count() == 200

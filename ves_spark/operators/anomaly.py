@@ -5,26 +5,38 @@ agent EXPORTS per-source rates; deciding a rate is anomalous is left
 to the operator reading the dashboards).
 
 Method: per series (the group columns), each bucket's value is scored
-against the TRAILING window of the previous ``lookback`` buckets —
-z-score when the baseline has variance, a ratio fallback when the
-baseline is flat (a constant series has std 0; any z-score there is
-undefined, and "value jumped to 3× a flat baseline" is exactly the
+against the TRAILING TIME WINDOW of the previous ``lookback`` bucket
+widths — z-score when the baseline has variance, a ratio fallback when
+the baseline is flat (a constant series has std 0; any z-score there
+is undefined, and "value jumped to 3× a flat baseline" is exactly the
 alert a flat-line service wants). The current bucket is excluded from
 its own baseline — including it both dilutes the mean and inflates
 the std, muting precisely the spikes being hunted.
 
+The window is RANGE-based on the bucket time, not row-based: rollups
+only hold buckets that had events, so "the previous N rows" silently
+spans idle gaps — a service resuming after a day's outage would be
+z-scored against week-old rows as if adjacent. With the range frame,
+buckets missing from the trailing time span simply shrink ``base_n``,
+and the ``min_baseline`` guard leaves post-gap buckets unflagged until
+a fresh baseline accrues instead of scoring them against stale data.
+(The dual blind spot is inherent to event-only rollups: a rate DROP to
+zero emits no row to score — detecting absence needs gap-filling or a
+scheduled "expected series" probe, out of scope here.)
+
 Spark shape: one shuffle on the series key, then pure window
-aggregates over ``rowsBetween(-lookback, -1)`` — whole-stage codegen,
-no UDF, and the identical window SQL runs on any engine (the tests
-oracle it against DuckDB verbatim). At 100 TB the input is a ROLLUP
-(buckets × series, metadata-scale next to the corpus), not raw
-events — detection rides the already-aggregated table.
+aggregates over ``rangeBetween(-lookback*bucket_width, -1)`` — whole-
+stage codegen, no UDF, and the identical window SQL runs on any engine
+(the tests oracle it against DuckDB verbatim). At 100 TB the input is
+a ROLLUP (buckets × series, metadata-scale next to the corpus), not
+raw events — detection rides the already-aggregated table.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampType
 
 
 def detect_rate_spikes(
@@ -33,26 +45,43 @@ def detect_rate_spikes(
     time_col: str = "time_bucket",
     value_col: str = "cnt",
     lookback: int = 12,
+    bucket_width: int = 1,
     z_thresh: float = 4.0,
     flat_ratio: float = 3.0,
     min_baseline: int = 3,
 ) -> DataFrame:
-    """Per-series trailing-baseline spike flags.
+    """Per-series trailing-time-window spike flags.
 
-    Adds ``base_mean``, ``base_std`` (population, over the previous
-    ``lookback`` buckets), ``z`` (null when the baseline is flat or
-    too short), and ``is_spike``: z >= ``z_thresh``, or value >=
-    ``flat_ratio`` × a flat positive baseline. Buckets with fewer
-    than ``min_baseline`` predecessors are never flagged — one prior
-    point is not a baseline."""
+    ``bucket_width`` is the spacing between adjacent buckets in
+    ``time_col``'s units — seconds when ``time_col`` is a timestamp
+    (e.g. 300 for a 5-minute rollup), plain units when it is numeric.
+    The baseline for a bucket at time t is every bucket in
+    ``(t - lookback*bucket_width, t)`` — at most ``lookback`` buckets,
+    fewer when the series was idle.
+
+    Adds ``base_n``, ``base_mean``, ``base_std`` (population, over the
+    trailing span), ``z`` (null when the baseline is flat or too
+    short), and ``is_spike``: z >= ``z_thresh``, or value >=
+    ``flat_ratio`` × a flat positive baseline. Buckets with fewer than
+    ``min_baseline`` in-span predecessors are never flagged — one
+    prior point is not a baseline, and neither is last week's."""
     if lookback < min_baseline:
         raise ValueError(
             f"lookback ({lookback}) must be >= min_baseline ({min_baseline})"
         )
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width ({bucket_width}) must be positive")
+    # rangeBetween needs a single numeric ordering key
+    t_type = rollup.schema[time_col].dataType
+    if isinstance(t_type, (TimestampType, DateType)):
+        t_key = F.unix_timestamp(F.col(time_col)).cast("long")
+    else:
+        t_key = F.col(time_col).cast("long")
+    out = rollup.withColumn("_t_key", t_key)
     w = (
         W.partitionBy(*group_cols)
-        .orderBy(time_col)
-        .rowsBetween(-lookback, -1)
+        .orderBy("_t_key")
+        .rangeBetween(-lookback * bucket_width, -1)
     )
     v = F.col(value_col).cast("double")
     n = F.count(value_col).over(w)
@@ -61,7 +90,7 @@ def detect_rate_spikes(
     # matches DuckDB's var_pop exactly in the oracle replay)
     std = F.sqrt(F.var_pop(v).over(w))
     out = (
-        rollup.withColumn("base_n", n)
+        out.withColumn("base_n", n)
         .withColumn("base_mean", mean)
         .withColumn("base_std", std)
         .withColumn(
@@ -82,5 +111,6 @@ def detect_rate_spikes(
                 )
             ),
         )
+        .drop("_t_key")
     )
     return out

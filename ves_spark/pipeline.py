@@ -132,11 +132,16 @@ class Pipeline:
         self._routed_rows_per_file: int | None = None
 
     def _routed_write_options(self, routed) -> dict | None:
-        """maxRecordsPerFile for the routed write when sizing is on:
-        one bytes/row probe per RUN (a limit-bounded tiny parquet
-        write of the computed frame), then a constant cap — encoded
-        bytes/row is stable across increments of the same stream, and
-        re-probing per increment would add a job to every batch."""
+        """File-sizing options for the routed write. LOGICAL options:
+        each catalog translates to its engine's knob — the v1 parquet
+        path honors ``maxRecordsPerFile``, Iceberg's DSv2 writer only
+        understands ``target-file-size-bytes`` (it silently ignores
+        maxRecordsPerFile), so the raw byte target rides along as
+        ``target_file_bytes``. The rows cap comes from one bytes/row
+        probe per RUN (a limit-bounded tiny parquet write of the
+        computed frame), then stays constant — encoded bytes/row is
+        stable across increments of the same stream, and re-probing
+        per increment would add a job to every batch."""
         if self.conf.target_file_bytes <= 0:
             return None
         if self._routed_rows_per_file is None:
@@ -146,7 +151,10 @@ class Pipeline:
             self._routed_rows_per_file = max(
                 1, int(self.conf.target_file_bytes / max(bpr, 1e-9))
             )
-        return {"maxRecordsPerFile": self._routed_rows_per_file}
+        return {
+            "maxRecordsPerFile": self._routed_rows_per_file,
+            "target_file_bytes": self.conf.target_file_bytes,
+        }
 
     # -------------------------------------------------------- discovery
     def _keep(self, name: str) -> bool:

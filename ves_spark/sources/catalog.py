@@ -123,7 +123,11 @@ class ParquetCatalog(TableCatalog):
         # partition not in the batch, so the operator must not depend
         # on the caller's session state for its contract.
         w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        for k, v in (options or {}).items():
+        opts = dict(options or {})
+        # logical sizing key: the v1 parquet writer sizes files via the
+        # maxRecordsPerFile rows cap computed from it upstream
+        opts.pop("target_file_bytes", None)
+        for k, v in opts.items():
             w = w.option(k, str(v))
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -219,7 +223,17 @@ class IcebergCatalog(TableCatalog):
 
     def overwrite_partitions(self, df, name, partition_by=(), options=None):
         wt = df.writeTo(self._tbl(name))
-        for k, v in (options or {}).items():
+        opts = dict(options or {})
+        # Translate the logical sizing keys: Iceberg's DSv2 writer
+        # sizes files via its own target-file-size-bytes write option
+        # and silently IGNORES the v1 maxRecordsPerFile knob — forward
+        # the byte target under the name Iceberg understands so
+        # --target-file-bytes is not a no-op on this catalog.
+        opts.pop("maxRecordsPerFile", None)
+        tfb = opts.pop("target_file_bytes", None)
+        if tfb:
+            wt = wt.option("target-file-size-bytes", str(int(tfb)))
+        for k, v in opts.items():
             wt = wt.option(k, str(v))
         wt.overwritePartitions()
 

@@ -97,7 +97,11 @@ class LocalSnapshotCatalog(TableCatalog):
         dname = f"s{snap_id}-{uuid.uuid4().hex[:8]}"
         full = os.path.join(self._tdir(name), "data", dname)
         w = df.write.mode("error")
-        for k, v in (options or {}).items():
+        opts = dict(options or {})
+        # logical sizing key: this v1 parquet path sizes files via the
+        # maxRecordsPerFile rows cap computed from it upstream
+        opts.pop("target_file_bytes", None)
+        for k, v in opts.items():
             w = w.option(k, str(v))
         if partition_by:
             w = w.partitionBy(*partition_by)
