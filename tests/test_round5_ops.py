@@ -575,3 +575,28 @@ def test_range_join_outlier_interval_fails_loudly(spark):
     assert (
         bucketed_range_join(p_df, i_df, "p", "s", "e", 1e6).count() == 1
     )
+
+
+def test_dedup_against_history_expected_keys_skips_count_scan(spark, monkeypatch):
+    """With expected_keys supplied (last epoch's checkpointed corpus
+    count), NO count() scan of history runs — proven by making
+    DataFrame.count explode — and the result is still the exact
+    anti-join."""
+    from pyspark.sql import DataFrame as _DF
+
+    from ves_spark.operators.bloom import dedup_against_history
+
+    hist = spark.createDataFrame(
+        [(f"h{i}", f"text {i % 40}") for i in range(200)], "doc_id string, text string"
+    )
+    new = spark.createDataFrame(
+        [("n1", "text 3"), ("n2", "brand new"), ("n3", "text 17"), ("n4", "also new")],
+        "doc_id string, text string",
+    )
+
+    def _boom(self):
+        raise AssertionError("count() scan ran despite expected_keys")
+
+    monkeypatch.setattr(_DF, "count", _boom)
+    kept = dedup_against_history(new, hist, expected_keys=200).toPandas()
+    assert sorted(kept["doc_id"]) == ["n2", "n4"]

@@ -5,9 +5,13 @@ against all of history.
 The reference dedups by identity against its checkpoint store on
 every (re)scan (`src/watcher/discovery.rs:33-35,71-73`); this is the
 same admit-only-unseen semantic at corpus scale. The history side is
-reduced ONCE to a compact bloom bitmap — built distributed as
-per-partition numpy bitmaps OR-reduced on the driver (a few hundred
-KB of metadata, like a broadcast join's build side) — then:
+scanned exactly TWICE — once to build a compact bloom bitmap
+(per-partition numpy bitmaps OR-reduced on the driver, a few hundred
+KB of metadata, like a broadcast join's build side), once streamed
+map-side through the exact-verify join — plus one extra sizing
+``count()`` pass only when the caller does not supply
+``expected_keys`` (steady-state ingest knows last epoch's corpus
+count from its own checkpoint metrics and should pass it). Then:
 
 * the new batch is filtered map-side by bloom probes (an
   Arrow-vectorized pandas UDF; candidates = true dups + the
@@ -106,13 +110,19 @@ def dedup_against_history(
     id_col: str = "doc_id",
     bits_per_key: int = 16,
     n_hashes: int = 7,
+    expected_keys: int | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` whose ``text_col`` content does NOT appear
     in ``hist_df`` — exact anti-join semantics at bloom cost. The
-    bitmap is sized to the history count (16 bits/key, 7 probes →
-    ~epsilon 4e-4 false-positive candidates to verify)."""
+    bitmap is sized to ``expected_keys`` when given (any upper bound
+    on the history count works — last epoch's checkpointed corpus
+    count is the natural source; oversizing only costs bitmap bytes,
+    undersizing only raises the false-positive verify load, never
+    correctness). Without it, one dedicated ``count()`` scan of
+    history sizes the bitmap (16 bits/key, 7 probes → ~epsilon 4e-4
+    false-positive candidates to verify)."""
     h_hist = hist_df.select(F.xxhash64(F.col(text_col)).alias("h"))
-    n = h_hist.count()
+    n = expected_keys if expected_keys is not None else h_hist.count()
     m_bits = 1 << max(14, int(max(n, 1) * bits_per_key - 1).bit_length())
     bloom = build_bloom_bitmap(h_hist, m_bits, n_hashes)
     probe = _might_contain_udf(bloom, m_bits, n_hashes)

@@ -47,11 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _dlit(x: float) -> str:
-    """Exact double literal: repr round-trips, CAST is correctly
-    rounded -> the same double bits in Spark and DuckDB."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+from ves_spark.operators.crossengine import dlit as _dlit
 
 
 def fast_sigmoid_sql(z_sql: str) -> str:

@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ves_spark.operators.crossengine import dlit as _dlit
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (JVM HOF)."""
@@ -282,11 +284,6 @@ def _assign_nearest(
     best = F.expr(f"array_max(array({structs}))")
     return nv.select(c_id, c_vec, (-best["nid"]).alias("cent_id"))
 
-
-def _dlit(x: float) -> str:
-    """Exact double literal: repr round-trips, CAST is correctly
-    rounded -> the same double bits as ``F.lit(float(x))``."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
 
 
 def _dot_literal_sql(vec_col: str, vec: list[float]) -> str:

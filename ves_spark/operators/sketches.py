@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ves_spark.operators.crossengine import duck_md5_int_sql, spark_md5_int
+
 # hashes live in [0, 2^60): 15 hex chars of md5 — large enough that
 # collisions are negligible at any test scale, small enough that the
 # DuckDB replay's per-character strpos arithmetic stays in BIGINT
@@ -52,21 +54,15 @@ KMV_HASH_SPAN = float(1 << KMV_HASH_BITS)  # 2^60, exact as a double
 
 def md5_hash60(col: Column) -> Column:
     """Cross-engine 60-bit hash: first 15 hex chars of md5(key) as a
-    long. Same construction as the sampler's md5_32 but wider, so the
-    bottom-k order matches DuckDB's digit-by-digit replay exactly."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    long (the shared ``crossengine`` builder — same construction as
+    the sampler's md5_32 but wider, so the bottom-k order matches
+    DuckDB's digit-by-digit replay exactly)."""
+    return spark_md5_int(col, 15)
 
 
 def md5_hash60_sql(col_sql: str) -> str:
-    """DuckDB replay of :func:`md5_hash60` (no conv() there): positional
-    hex-digit arithmetic, exactly the md5_32 oracle pattern widened."""
-    terms = [
-        f"(strpos('0123456789abcdef', substr(md5(CAST({col_sql} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
-        for i in range(15)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """DuckDB replay of :func:`md5_hash60`."""
+    return duck_md5_int_sql(col_sql, 15)
 
 
 def kmv_sketch(

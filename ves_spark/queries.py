@@ -1063,10 +1063,9 @@ def _kmeans_prefix_sql(
     # cent_vec is already DOUBLE — the redundant CAST keeps one cosine
     # template for both raw-float and trained-centroid operands
     c_cent = cos.format(a="c_vec", b="cent_vec")
-    md5_32 = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(c_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    from ves_spark.operators.crossengine import duck_md5_int_sql
+
+    md5_32 = duck_md5_int_sql("c_id", 8)
     sums = ",\n             ".join(
         f"sum(CAST(floor(CAST(c_vec[{d + 1}] AS DOUBLE) * {q_dbl}) AS BIGINT)) AS s{d + 1}"
         for d in range(dim)
@@ -2094,6 +2093,11 @@ def sessionization_stream(spark, sf_dir):
     )
     q.processAllAvailable()
     q.stop()
+    # the memory sink holds the rows in-process: the parquet source
+    # and checkpoint are dead weight once the query stops, and the
+    # pid-suffixed root would otherwise accumulate across driver
+    # processes on a shared bench box
+    shutil.rmtree(root, ignore_errors=True)
     return (
         spark.table(name)
         .filter(F.col("user_id") >= 0)  # drop the sentinel user
@@ -2298,13 +2302,18 @@ def cdc_snapshot_diff(spark, sf_dir):
 
 
 def _spark_md5_32(col):
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    from ves_spark.operators.crossengine import spark_md5_int
+
+    return spark_md5_int(col, 8)
 
 
-_DUCK_MD5_32 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8)
-)
+def _duck_md5_32() -> str:
+    from ves_spark.operators.crossengine import duck_md5_int_sql
+
+    return duck_md5_int_sql("doc_id", 8)
+
+
+_DUCK_MD5_32 = _duck_md5_32()
 
 
 @register(
@@ -2458,9 +2467,10 @@ def stream_dedup_docs(spark, sf_dir):
     reference's checkpoint-identity skip (discovery.rs:33-35) on the
     live-tail path; the batch path's equivalent is the lineage
     anti-join."""
+    import hashlib
     import os as _os
+    import shutil
     import tempfile
-    import uuid
 
     from ves_spark.streaming.stream_pipeline import dedup_stream
 
@@ -2470,7 +2480,16 @@ def stream_dedup_docs(spark, sf_dir):
         "lang",
         F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
-    work = tempfile.mkdtemp(prefix="ves_streamdedup_")
+    # stable md5 base per sf_dir + pid (same discipline as the other
+    # stream queries): same-process reruns reuse-and-clean ONE dir and
+    # ONE memory-sink view instead of leaking a corpus copy and a
+    # fresh temp view per invocation; the pid keeps concurrent drivers
+    # out of each other's live source.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = (
+        f"{tempfile.gettempdir()}/ves_streamdedup_{tag}_{_os.getpid()}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
     src = _os.path.join(work, "in")
     d.coalesce(1).write.parquet(src)
     d.coalesce(1).write.mode("append").parquet(src)  # the redelivery
@@ -2480,7 +2499,7 @@ def stream_dedup_docs(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    qname = f"sdq_{uuid.uuid4().hex[:8]}"
+    qname = f"sdq_{tag}"
     q = (
         dedup_stream(stream, key="doc_id")
         .writeStream.outputMode("append")
@@ -2490,4 +2509,6 @@ def stream_dedup_docs(spark, sf_dir):
     )
     q.processAllAvailable()
     q.stop()
+    # rows live in the memory sink now; drop the on-disk copies
+    shutil.rmtree(work, ignore_errors=True)
     return spark.sql(f"SELECT doc_id, source, lang FROM {qname}")
