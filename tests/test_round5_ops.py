@@ -600,3 +600,89 @@ def test_dedup_against_history_expected_keys_skips_count_scan(spark, monkeypatch
     monkeypatch.setattr(_DF, "count", _boom)
     kept = dedup_against_history(new, hist, expected_keys=200).toPandas()
     assert sorted(kept["doc_id"]) == ["n2", "n4"]
+
+
+def _skewed_fix(spark):
+    # 90% of big rows on one hot key; small has m:n duplicate keys
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i % 7}", i * 3) for i in range(2000)],
+        "row_id long, key string, val long",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H1"), ("hot", "H2"), ("k0", "A"), ("k3", "B"), ("nokey", "Z")],
+        "key string, attr string",
+    )
+    return big, small
+
+
+def test_salted_skew_join_inner_equals_plain(spark):
+    from ves_spark.operators.joins import salted_skew_join
+
+    big, small = _skewed_fix(spark)
+    got = (
+        salted_skew_join(big, small, "key", n_salts=8)
+        .orderBy("row_id", "attr")
+        .toPandas()
+    )
+    want = big.join(small, "key").orderBy("row_id", "attr").toPandas()
+    assert got[want.columns.tolist()].equals(want)
+
+
+def test_salted_skew_join_left_preserves_unmatched_once(spark):
+    from ves_spark.operators.joins import salted_skew_join
+
+    big, small = _skewed_fix(spark)
+    got = (
+        salted_skew_join(big, small, "key", n_salts=8, how="left")
+        .orderBy("row_id", "attr")
+        .toPandas()
+    )
+    want = big.join(small, "key", "left").orderBy("row_id", "attr").toPandas()
+    assert got[want.columns.tolist()].equals(want)
+    # unmatched keys (k1,k2,k4..) present exactly once per big row
+    assert len(got) == len(want)
+
+
+def test_salted_skew_join_spreads_hot_key(spark):
+    """The point of the salt: the hot key's rows must land on >1
+    (key, salt) reducer group, and the join must not be a broadcast."""
+    from ves_spark.operators.joins import salted_skew_join
+
+    big, small = _skewed_fix(spark)
+    b = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(8)
+        ).cast("int"),
+    )
+    n_groups = (
+        b.filter(F.col("key") == "hot").select("_salt").distinct().count()
+    )
+    assert n_groups >= 6  # 1800 hot rows spread over 8 salts
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            salted_skew_join(big, small, "key", n_salts=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan  # salt participates in the join keys
+
+
+def test_salted_skew_join_guards(spark):
+    import pytest as _pytest
+
+    from ves_spark.operators.joins import salted_skew_join
+
+    big, small = _skewed_fix(spark)
+    with _pytest.raises(ValueError, match="inner"):
+        salted_skew_join(big, small, "key", how="right")
+    with _pytest.raises(ValueError, match="n_salts"):
+        salted_skew_join(big, small, "key", n_salts=0)
+    # n_salts=1 degenerates to the plain join
+    got = salted_skew_join(big, small, "key", n_salts=1).count()
+    assert got == big.join(small, "key").count()

@@ -105,3 +105,62 @@ def bucketed_range_join(
         )
         .drop(_BKT)
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_expr=None,
+) -> DataFrame:
+    """Skew-busting equi-join for the middle regime the built-ins miss:
+    ``small`` is too large to broadcast, ``big``'s join keys are
+    heavy-hitter skewed, and a plain shuffle join would send every row
+    of a hot key to ONE reducer task. The classic salted-repartition
+    form (the north-star's "salted keys for skewed sources"): the big
+    side gets a deterministic per-row salt in ``[0, n_salts)``, the
+    small side is replicated once per salt, and the equi-join runs on
+    ``keys + salt`` — a hot key's rows spread across ``n_salts``
+    tasks, each meeting its own full copy of that key's small rows.
+
+    Result is row-for-row the plain ``big.join(small, on, how)`` for
+    the big-side-preserving joins (``inner``/``left``): every big row
+    carries exactly ONE salt and meets the complete replica of its
+    key there — multiplicities and null-padding are untouched.
+    ``right``/``full`` would see each unmatched small row once PER
+    REPLICA and are refused.
+
+    Cost model (why this is not the default): the small side's shuffle
+    volume is multiplied by ``n_salts``. Worth it iff
+    ``n_salts * |small| << |big's hot keys|`` — i.e. exactly when one
+    reducer would otherwise run for hours. For small sides under the
+    broadcast threshold use ``F.broadcast`` (no shuffle at all); for
+    mild skew AQE's runtime skew-split
+    (``spark.sql.adaptive.skewJoin``) is free and needs no replication
+    — this operator is for the skew you can predict and must kill at
+    plan time (a 10^11-row hot source against a 10^8-row dim).
+
+    ``salt_expr`` defaults to ``xxhash64(struct(*big.columns))`` —
+    deterministic and reshard-stable. Fully identical duplicate rows
+    share a salt (they carry no distinguishing bits to hash); callers
+    with such data pass e.g. ``salt_expr=F.xxhash64("doc_id")`` on a
+    unique column, or any expression of their choosing — salt values
+    never affect the result, only the spread.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_skew_join supports how='inner'|'left', got {how!r} — "
+            "right/full would duplicate unmatched small rows per replica"
+        )
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if salt_expr is None:
+        salt_expr = F.xxhash64(F.struct(*[F.col(c) for c in big.columns]))
+    b = big.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
