@@ -1,0 +1,171 @@
+"""Streaming rate-spike alerts: the live half of the alerting loop.
+
+``operators/anomaly.py::detect_rate_spikes`` scores a FINISHED rollup
+table; the reference's actual operating mode is live tailing
+(`src/tailer/manager.rs:21-29` exports rates continuously), so spikes
+must be scored as buckets finalize, not in a nightly batch. This
+module runs the SAME batch kernel inside a ``foreachBatch`` sink over
+the watermarked rollup stream (``stream_rollup``'s append-mode
+output), with a compact on-disk baseline state per series.
+
+Why stream == batch EXACTLY (the test's oracle): append mode emits a
+window only once its end passes the watermark, and the watermark is
+monotone — so per series, buckets are finalized in time order across
+micro-batches. Scoring batch N as ``detect_rate_spikes`` over
+(baseline state ∪ batch N's buckets) therefore sees precisely the
+trailing buckets the all-at-once batch run would see; keeping flags
+only for batch N's rows avoids re-emitting state rows.
+
+State is metadata-scale (series × lookback rows, pruned each batch:
+a bucket older than ``lookback·width`` before its series' max can
+never re-enter any future trailing span, since spans only move right)
+and versioned BY BATCH ID: batch N reads ``state_M`` for the largest
+committed M < N and writes ``state_N`` + its score partition
+``batch_seq=N`` — a redelivered batch recomputes from the same
+``state_M`` and overwrites the same outputs, so the sink is
+exactly-once under Structured Streaming's replay contract (same
+discipline as the pipeline's partition-scoped writes).
+
+100 TB shape: the stream's heavy lifting (the rollup) happened
+upstream in the watermarked groupBy; this sink joins two
+metadata-sized frames per batch. Nothing here scans events.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ves_spark.operators.anomaly import detect_rate_spikes
+
+_STATE_PREFIX = "state_"
+
+
+def _committed_states(out_dir: str) -> list[int]:
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for d in os.listdir(out_dir):
+        if d.startswith(_STATE_PREFIX):
+            try:
+                out.append(int(d[len(_STATE_PREFIX):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+class SpikeAlertSink:
+    """``foreachBatch`` callable: score each finalized rollup bucket
+    against its series' trailing baseline, persist the scored rows to
+    ``<out_dir>/scores`` (partitioned by batch_seq for idempotent
+    redelivery; alerts = the ``is_spike`` filter), and advance the
+    baseline state.
+
+    All ``detect_rate_spikes`` knobs pass through; ``bucket_width``
+    must match the rollup's window size in seconds."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        group_cols: list[str],
+        time_col: str = "time_bucket",
+        value_col: str = "cnt",
+        lookback: int = 12,
+        bucket_width: int = 300,
+        **spike_kwargs,
+    ):
+        self.out_dir = out_dir
+        self.group_cols = list(group_cols)
+        self.time_col = time_col
+        self.value_col = value_col
+        self.lookback = lookback
+        self.bucket_width = bucket_width
+        self.spike_kwargs = spike_kwargs
+        os.makedirs(out_dir, exist_ok=True)
+
+    # ------------------------------------------------------ plumbing
+    def _state_path(self, batch_id: int) -> str:
+        return os.path.join(self.out_dir, f"{_STATE_PREFIX}{batch_id}")
+
+    def _read_baseline(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
+        prior = [m for m in _committed_states(self.out_dir) if m < batch_id]
+        if not prior:
+            return None
+        return spark.read.parquet(self._state_path(max(prior)))
+
+    # ------------------------------------------------------ the sink
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return  # empty trigger: no buckets, state unchanged
+        cols = [*self.group_cols, self.time_col, self.value_col]
+        batch = batch_df.select(*cols)
+        baseline = self._read_baseline(spark, batch_id)
+        scored_input = batch if baseline is None else baseline.unionByName(batch)
+
+        scored = detect_rate_spikes(
+            scored_input,
+            self.group_cols,
+            time_col=self.time_col,
+            value_col=self.value_col,
+            lookback=self.lookback,
+            bucket_width=self.bucket_width,
+            **self.spike_kwargs,
+        )
+        # scores for THIS batch's buckets only (state rows were scored
+        # when they arrived); semi-join on the full key is exact —
+        # append mode never re-emits a (series, bucket). Every scored
+        # row is persisted (not just spikes): the score table doubles
+        # as the audit trail, and downstream alerting is a filter.
+        scores = scored.join(
+            F.broadcast(batch.select(*self.group_cols, self.time_col)),
+            [*self.group_cols, self.time_col],
+            "semi",
+        )
+        (
+            scores.withColumn("batch_seq", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_seq")
+            .parquet(os.path.join(self.out_dir, "scores"))
+        )
+
+        # next state: all buckets still inside some future trailing
+        # span — t_key > per-series max - lookback*width
+        span = self.lookback * self.bucket_width
+        t = F.col(self.time_col)
+        t_key = (
+            F.unix_timestamp(t).cast("long")
+            if dict(scored_input.dtypes)[self.time_col].startswith("timestamp")
+            else t.cast("long")
+        )
+        keyed = scored_input.withColumn("_t_key", t_key)
+        mx = keyed.groupBy(*self.group_cols).agg(F.max("_t_key").alias("_mx"))
+        new_state = (
+            keyed.join(F.broadcast(mx), self.group_cols)
+            .filter(F.col("_t_key") > F.col("_mx") - F.lit(span))
+            .select(*cols)
+        )
+        tmp = self._state_path(batch_id) + "._tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_state.write.mode("overwrite").parquet(tmp)
+        final = self._state_path(batch_id)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        # retire states older than the previous one: batch N+1 needs
+        # only state_N; keep exactly one predecessor for redelivery
+        for m in _committed_states(self.out_dir)[:-2]:
+            shutil.rmtree(self._state_path(m), ignore_errors=True)
+
+
+def read_scores(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Every scored bucket emitted so far (batch_seq included)."""
+    return spark.read.parquet(os.path.join(out_dir, "scores"))
+
+
+def read_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Flagged buckets only — the alert feed."""
+    return read_scores(spark, out_dir).filter(F.col("is_spike"))
