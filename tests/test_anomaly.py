@@ -140,3 +140,84 @@ def test_timestamp_bucket_width(spark):
     spikes = [r for r in got.collect() if r["is_spike"]]
     assert len(spikes) == 1 and spikes[0]["ts"].minute == 40
     assert spikes[0]["base_n"] == 6  # exactly the 6 in-span buckets
+
+
+def test_fill_gaps_detects_rate_drop(spark):
+    """A service that goes silent emits NO rollup rows — only the
+    filled zero buckets can flag it. The global-max horizon exposes
+    the stopped series against the still-running one."""
+    rows = [("svc_dead", t, 100 + (t % 3)) for t in range(20)]  # stops at t=19
+    rows += [("svc_live", t, 100 + (t % 3)) for t in range(30)]  # keeps going
+    df = spark.createDataFrame(rows, "sink string, t int, cnt long")
+    got = detect_rate_spikes(
+        df, ["sink"], time_col="t", lookback=8, fill_gaps=True
+    )
+    out = {(r["sink"], r["t"]): r for r in got.collect()}
+    # dead series densified to the global horizon (t=29) with zeros
+    assert out[("svc_dead", 25)]["cnt"] == 0
+    assert out[("svc_dead", 20)]["is_drop"]  # first silent bucket flagged
+    assert not any(
+        r["is_drop"] for (s, _t), r in out.items() if s == "svc_live"
+    )
+    assert not any(r["is_spike"] for r in out.values())
+
+
+def test_fill_gaps_flat_baseline_drop(spark):
+    """Flat positive baseline, value falls to a third: ratio branch."""
+    rows = [("s", t, 90) for t in range(10)] + [("s", 10, 20)]
+    df = spark.createDataFrame(rows, "sink string, t int, cnt long")
+    got = detect_rate_spikes(
+        df, ["sink"], time_col="t", lookback=8, fill_gaps=True
+    )
+    flagged = {r["t"] for r in got.collect() if r["is_drop"]}
+    assert flagged == {10}
+
+
+def test_fill_gaps_preserves_real_buckets_and_counts(spark):
+    rows = [("s", t, 50) for t in range(0, 20, 4)]  # sparse: every 4th
+    df = spark.createDataFrame(rows, "sink string, t int, cnt long")
+    from ves_spark.operators.anomaly import fill_bucket_gaps
+
+    filled = fill_bucket_gaps(df, ["sink"], time_col="t", bucket_width=1)
+    pdf = filled.orderBy("t").toPandas()
+    assert list(pdf["t"]) == list(range(17))  # 0..16 densified
+    assert pdf["cnt"].sum() == 50 * 5  # real values intact
+    assert (pdf["cnt"] != 0).sum() == 5
+
+
+def test_fill_gaps_timestamp_roundtrip(spark):
+    rows = [("s", f"2025-01-01 00:{5*t:02d}:00", 100) for t in (0, 1, 2, 5)]
+    df = spark.createDataFrame(rows, "sink string, ts string, cnt long").select(
+        "sink", F.to_timestamp("ts").alias("ts"), "cnt"
+    )
+    from ves_spark.operators.anomaly import fill_bucket_gaps
+
+    filled = fill_bucket_gaps(
+        df, ["sink"], time_col="ts", bucket_width=300
+    ).orderBy("ts")
+    got = [(r["ts"].minute, r["cnt"]) for r in filled.collect()]
+    assert got == [(0, 100), (5, 100), (10, 100), (15, 0), (20, 0), (25, 100)]
+
+
+def test_timestamp_ntz_from_parquet_scan(spark, tmp_path):
+    """Parquet scans yield TIMESTAMP_NTZ — a distinct type ANSI mode
+    refuses to cast to BIGINT. Both the range key and the gap fill
+    must handle it (regression: the isinstance(TimestampType) check
+    missed NTZ and the operator threw on any real rollup table)."""
+    p = str(tmp_path / "roll")
+    rows = [("s", f"2025-01-01 00:{5*t:02d}:00", 100) for t in range(8)]
+    rows.append(("s", "2025-01-01 00:45:00", 1200))  # gap at 00:40
+    spark.createDataFrame(rows, "sink string, ts string, cnt long").select(
+        "sink", F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"), "cnt"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = detect_rate_spikes(
+        df, ["sink"], time_col="ts", lookback=6, bucket_width=300,
+        fill_gaps=True,
+    )
+    pdf = got.orderBy("ts").toPandas()
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    assert len(pdf) == 10  # densified: 00:00..00:45
+    assert bool(pdf[pdf.ts.dt.minute == 45].iloc[0]["is_spike"])
+    assert bool(pdf[pdf.ts.dt.minute == 40].iloc[0]["is_drop"])

@@ -20,9 +20,14 @@ z-scored against week-old rows as if adjacent. With the range frame,
 buckets missing from the trailing time span simply shrink ``base_n``,
 and the ``min_baseline`` guard leaves post-gap buckets unflagged until
 a fresh baseline accrues instead of scoring them against stale data.
-(The dual blind spot is inherent to event-only rollups: a rate DROP to
-zero emits no row to score — detecting absence needs gap-filling or a
-scheduled "expected series" probe, out of scope here.)
+(The dual blind spot — a rate DROP to zero emits no row to score — is
+closed by :func:`fill_bucket_gaps`: densify each series with explicit
+zero buckets from its first bucket to the GLOBAL max bucket (the
+"now" horizon a stopped series cannot extend itself), then score;
+``detect_rate_spikes(..., fill_gaps=True)`` does both and also emits
+the symmetric ``is_drop`` flag. The grid is series × horizon buckets
+— still metadata-scale next to the corpus, but materialize it only
+for alerting passes, not as a stored table.)
 
 Spark shape: one shuffle on the series key, then pure window
 aggregates over ``rangeBetween(-lookback*bucket_width, -1)`` — whole-
@@ -36,7 +41,71 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, TimestampType
+
+def _time_key(df: DataFrame, time_col: str):
+    """Numeric ordering key for ``time_col`` (epoch seconds for any
+    time type — TIMESTAMP, TIMESTAMP_NTZ, DATE — plain long
+    otherwise) + whether it was a time type. Dtype-string dispatch, not
+    isinstance: parquet scans yield TIMESTAMP_NTZ, which is a distinct
+    type ANSI mode refuses to cast straight to BIGINT."""
+    dt = dict(df.dtypes)[time_col]
+    is_ts = dt.startswith("timestamp") or dt == "date"
+    key = (
+        F.unix_timestamp(F.col(time_col).cast("timestamp")).cast("long")
+        if is_ts
+        else F.col(time_col).cast("long")
+    )
+    return key, is_ts
+
+
+def fill_bucket_gaps(
+    rollup: DataFrame,
+    group_cols: list[str],
+    time_col: str = "time_bucket",
+    value_col: str = "cnt",
+    bucket_width: int = 1,
+) -> DataFrame:
+    """Densify an event-only rollup: emit an explicit ``value = 0``
+    row for every bucket a series was silent, from the series' FIRST
+    bucket through the GLOBAL max bucket. The global horizon is the
+    point: a series that stopped emits nothing and can never extend
+    its own max — only the rest of the fleet's clock exposes its
+    silence. Non-``value_col`` columns are dropped (a synthesized zero
+    bucket has no values for them).
+
+    Scale: one metadata-sized per-series min aggregate, one global
+    single-row max broadcast, one ``sequence``-explode whose output is
+    series × horizon buckets — rollup-scale, never event-scale."""
+    t_key, is_ts = _time_key(rollup, time_col)
+    keyed = rollup.withColumn("_t_key", t_key)
+    lo = keyed.groupBy(*group_cols).agg(F.min("_t_key").alias("_lo"))
+    hi = keyed.agg(F.max("_t_key").alias("_hi"))
+    grid = (
+        lo.join(F.broadcast(hi))
+        .select(
+            *group_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(int(bucket_width)))
+            ).alias("_t_key"),
+        )
+    )
+    # full outer: a real bucket not aligned to the series' lo + k*width
+    # grid (shouldn't happen for window()-produced rollups, but cheap
+    # to be safe) survives instead of being silently dropped
+    filled = grid.join(
+        keyed.select(*group_cols, "_t_key", value_col),
+        [*group_cols, "_t_key"],
+        "full",
+    ).withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0)))
+    # reconstruct the ORIGINAL dtype (timestamp vs timestamp_ntz vs
+    # date vs numeric) so filled output unions cleanly with the input
+    dt = dict(rollup.dtypes)[time_col]
+    t_out = (
+        F.from_unixtime("_t_key").cast(dt).alias(time_col)
+        if is_ts
+        else F.col("_t_key").cast(dt).alias(time_col)
+    )
+    return filled.select(*group_cols, t_out, value_col)
 
 
 def detect_rate_spikes(
@@ -49,6 +118,7 @@ def detect_rate_spikes(
     z_thresh: float = 4.0,
     flat_ratio: float = 3.0,
     min_baseline: int = 3,
+    fill_gaps: bool = False,
 ) -> DataFrame:
     """Per-series trailing-time-window spike flags.
 
@@ -64,19 +134,25 @@ def detect_rate_spikes(
     short), and ``is_spike``: z >= ``z_thresh``, or value >=
     ``flat_ratio`` × a flat positive baseline. Buckets with fewer than
     ``min_baseline`` in-span predecessors are never flagged — one
-    prior point is not a baseline, and neither is last week's."""
+    prior point is not a baseline, and neither is last week's.
+
+    ``fill_gaps=True`` first densifies via :func:`fill_bucket_gaps`
+    (dropping non-value columns) and adds the symmetric ``is_drop``
+    flag: z <= -``z_thresh``, or value <= baseline/``flat_ratio``
+    against a flat positive baseline — the "service went silent"
+    alert an event-only rollup structurally cannot raise."""
     if lookback < min_baseline:
         raise ValueError(
             f"lookback ({lookback}) must be >= min_baseline ({min_baseline})"
         )
     if bucket_width <= 0:
         raise ValueError(f"bucket_width ({bucket_width}) must be positive")
+    if fill_gaps:
+        rollup = fill_bucket_gaps(
+            rollup, group_cols, time_col, value_col, bucket_width
+        )
     # rangeBetween needs a single numeric ordering key
-    t_type = rollup.schema[time_col].dataType
-    if isinstance(t_type, (TimestampType, DateType)):
-        t_key = F.unix_timestamp(F.col(time_col)).cast("long")
-    else:
-        t_key = F.col(time_col).cast("long")
+    t_key, _ = _time_key(rollup, time_col)
     out = rollup.withColumn("_t_key", t_key)
     w = (
         W.partitionBy(*group_cols)
@@ -111,6 +187,17 @@ def detect_rate_spikes(
                 )
             ),
         )
-        .drop("_t_key")
     )
-    return out
+    if fill_gaps:
+        out = out.withColumn(
+            "is_drop",
+            F.when(F.col("base_n") < min_baseline, F.lit(False)).otherwise(
+                F.coalesce(F.col("z") <= -z_thresh, F.lit(False))
+                | (
+                    (F.col("base_std") == 0)
+                    & (F.col("base_mean") > 0)
+                    & (v <= F.col("base_mean") / flat_ratio)
+                )
+            ),
+        )
+    return out.drop("_t_key")
