@@ -201,3 +201,82 @@ def test_live_stream_end_to_end(spark, tmp_path):
     alerts = read_alerts(spark, out).collect()
     burst_minute = {r["time_bucket"].minute + 60 * r["time_bucket"].hour for r in alerts}
     assert burst_minute == {30 * 5}  # exactly the planted burst bucket
+
+
+def _gap_rows():
+    rows = []
+    # svc_dead stops at t=14; svc_live keeps the horizon advancing
+    rows += [("sink_a", "src_dead", t * 300, 100 + (t % 3)) for t in range(15)]
+    rows += [("sink_a", "src_live", t * 300, 100 + (t % 3)) for t in range(30)]
+    return rows
+
+
+def _gap_df(spark):
+    return spark.createDataFrame(
+        _gap_rows(), "sink string, source string, time_bucket long, cnt long"
+    )
+
+
+def _batch_fill_rows(spark):
+    got = detect_rate_spikes(
+        _gap_df(spark), ["sink", "source"],
+        time_col="time_bucket", lookback=8, bucket_width=300, fill_gaps=True,
+    )
+    return {
+        (r["sink"], r["source"], r["time_bucket"]): (r["is_spike"], r["is_drop"])
+        for r in got.collect()
+    }
+
+
+@pytest.mark.parametrize("splits", [[], [7, 16, 22]])
+def test_fill_gaps_stream_equals_batch(spark, tmp_path, splits):
+    out = str(tmp_path / f"fg{len(splits)}")
+    sink = SpikeAlertSink(
+        out, ["sink", "source"], time_col="time_bucket",
+        lookback=8, bucket_width=300, fill_gaps=True,
+    )
+    df = _gap_df(spark)
+    lo = 0
+    for bid, hi in enumerate([*splits, 10**9]):
+        sink(
+            df.filter(
+                (F.col("time_bucket") >= lo * 300)
+                & (F.col("time_bucket") < hi * 300)
+            ),
+            bid,
+        )
+        lo = hi
+    got = {
+        (r["sink"], r["source"], r["time_bucket"]): (r["is_spike"], r["is_drop"])
+        for r in read_scores(spark, out).collect()
+    }
+    assert got == _batch_fill_rows(spark)
+    # drop alerts fired for the dead series' first silent buckets
+    drops = {k for k, (_s, d) in got.items() if d}
+    assert ("sink_a", "src_dead", 15 * 300) in drops
+    assert all(s == "src_dead" for (_k, s, _t) in drops)
+    # each (series, bucket) emitted exactly once across batches
+    sc = read_scores(spark, out)
+    assert (
+        sc.count()
+        == sc.select("sink", "source", "time_bucket").distinct().count()
+    )
+
+
+def test_fill_gaps_stream_redelivery_idempotent(spark, tmp_path):
+    out = str(tmp_path / "fgr")
+    sink = SpikeAlertSink(
+        out, ["sink", "source"], time_col="time_bucket",
+        lookback=8, bucket_width=300, fill_gaps=True,
+    )
+    df = _gap_df(spark)
+    b0 = df.filter(F.col("time_bucket") < 18 * 300)
+    b1 = df.filter(F.col("time_bucket") >= 18 * 300)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay
+    got = {
+        (r["sink"], r["source"], r["time_bucket"]): (r["is_spike"], r["is_drop"])
+        for r in read_scores(spark, out).collect()
+    }
+    assert got == _batch_fill_rows(spark)

@@ -65,7 +65,17 @@ class SpikeAlertSink:
     baseline state.
 
     All ``detect_rate_spikes`` knobs pass through; ``bucket_width``
-    must match the rollup's window size in seconds."""
+    must match the rollup's window size in seconds.
+
+    ``fill_gaps=True`` additionally raises DROP alerts live: each
+    batch densifies (state ∪ batch) with zero buckets out to the
+    horizon (the max finalized bucket so far — a silent series can
+    only be exposed by the rest of the fleet's clock), scores them,
+    and emits every bucket past its series' previous high-water mark
+    exactly once. Zero buckets enter the state like real ones, so a
+    dead series' baseline decays to flat zero and, matching the batch
+    operator, stops alerting once the lookback span has passed —
+    bounded alert volume per outage by construction."""
 
     def __init__(
         self,
@@ -75,6 +85,7 @@ class SpikeAlertSink:
         value_col: str = "cnt",
         lookback: int = 12,
         bucket_width: int = 300,
+        fill_gaps: bool = False,
         **spike_kwargs,
     ):
         self.out_dir = out_dir
@@ -83,6 +94,7 @@ class SpikeAlertSink:
         self.value_col = value_col
         self.lookback = lookback
         self.bucket_width = bucket_width
+        self.fill_gaps = fill_gaps
         self.spike_kwargs = spike_kwargs
         os.makedirs(out_dir, exist_ok=True)
 
@@ -113,18 +125,47 @@ class SpikeAlertSink:
             value_col=self.value_col,
             lookback=self.lookback,
             bucket_width=self.bucket_width,
+            fill_gaps=self.fill_gaps,
             **self.spike_kwargs,
         )
-        # scores for THIS batch's buckets only (state rows were scored
-        # when they arrived); semi-join on the full key is exact —
-        # append mode never re-emits a (series, bucket). Every scored
-        # row is persisted (not just spikes): the score table doubles
-        # as the audit trail, and downstream alerting is a filter.
-        scores = scored.join(
-            F.broadcast(batch.select(*self.group_cols, self.time_col)),
-            [*self.group_cols, self.time_col],
-            "semi",
-        )
+        # Emit each bucket's score exactly once. Without fill: scores
+        # for THIS batch's buckets (state rows were scored when they
+        # arrived; append mode never re-emits a (series, bucket)), via
+        # a semi-join on the full key. With fill: generated zero
+        # buckets belong to no batch, so emission is every scored row
+        # past its series' previous high-water mark — zeros in
+        # (hwm − span, hwm] were emitted last batch and sit in state
+        # as explicit rows, so they never regenerate as "new". Every
+        # scored row is persisted (not just flags): the score table
+        # doubles as the audit trail; alerting is a filter.
+        if self.fill_gaps:
+            from ves_spark.operators.anomaly import _time_key
+
+            t_key, _ = _time_key(scored, self.time_col)
+            scored_k = scored.withColumn("_t_key", t_key)
+            if baseline is None:
+                scores = scored_k.drop("_t_key")
+            else:
+                bk, _ = _time_key(baseline, self.time_col)
+                hwm = (
+                    baseline.withColumn("_t_key", bk)
+                    .groupBy(*self.group_cols)
+                    .agg(F.max("_t_key").alias("_hwm"))
+                )
+                scores = (
+                    scored_k.join(F.broadcast(hwm), self.group_cols, "left")
+                    .filter(
+                        F.col("_hwm").isNull()
+                        | (F.col("_t_key") > F.col("_hwm"))
+                    )
+                    .drop("_t_key", "_hwm")
+                )
+        else:
+            scores = scored.join(
+                F.broadcast(batch.select(*self.group_cols, self.time_col)),
+                [*self.group_cols, self.time_col],
+                "semi",
+            )
         (
             scores.withColumn("batch_seq", F.lit(batch_id))
             .write.mode("overwrite")
@@ -134,15 +175,17 @@ class SpikeAlertSink:
         )
 
         # next state: all buckets still inside some future trailing
-        # span — t_key > per-series max - lookback*width
+        # span — t_key > per-series max - lookback*width. Derive from
+        # the SCORED rows, not the raw input: under fill_gaps the
+        # generated zero buckets must enter the state so (a) future
+        # baselines include them and (b) the high-water-mark emission
+        # rule sees them as already-emitted.
+        from ves_spark.operators.anomaly import _time_key as _tk
+
         span = self.lookback * self.bucket_width
-        t = F.col(self.time_col)
-        t_key = (
-            F.unix_timestamp(t).cast("long")
-            if dict(scored_input.dtypes)[self.time_col].startswith("timestamp")
-            else t.cast("long")
-        )
-        keyed = scored_input.withColumn("_t_key", t_key)
+        state_rows = scored.select(*cols)
+        t_key, _ = _tk(state_rows, self.time_col)
+        keyed = state_rows.withColumn("_t_key", t_key)
         mx = keyed.groupBy(*self.group_cols).agg(F.max("_t_key").alias("_mx"))
         new_state = (
             keyed.join(F.broadcast(mx), self.group_cols)
@@ -167,5 +210,10 @@ def read_scores(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Flagged buckets only — the alert feed."""
-    return read_scores(spark, out_dir).filter(F.col("is_spike"))
+    """Flagged buckets only — the alert feed (spikes, plus drops when
+    the sink ran with ``fill_gaps=True``)."""
+    sc = read_scores(spark, out_dir)
+    flag = F.col("is_spike")
+    if "is_drop" in sc.columns:
+        flag = flag | F.col("is_drop")
+    return sc.filter(flag)
