@@ -221,3 +221,41 @@ def test_timestamp_ntz_from_parquet_scan(spark, tmp_path):
     assert len(pdf) == 10  # densified: 00:00..00:45
     assert bool(pdf[pdf.ts.dt.minute == 45].iloc[0]["is_spike"])
     assert bool(pdf[pdf.ts.dt.minute == 40].iloc[0]["is_drop"])
+
+
+def test_ntz_fill_is_dst_proof(spark):
+    """TIMESTAMP_NTZ is wall time: converting it through the session
+    timezone would warp bucket spacing across a DST transition
+    (fall-back 2025-11-02 in America/New_York repeats 01:00-02:00).
+    The NTZ key must advance exactly 300 s per 5-min bucket and
+    round-trip labels bit-for-bit regardless of session timezone."""
+    from ves_spark.operators.anomaly import fill_bucket_gaps
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # NTZ wall times crossing the fall-back hour, one bucket missing
+        times = ["01:45", "01:50", "01:55", "02:00", "02:10"]
+        rows = [("s", f"2025-11-02 {t}:00", 100) for t in times]
+        df = spark.createDataFrame(
+            rows, "sink string, ts string, cnt long"
+        ).select(
+            "sink",
+            F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"),
+            "cnt",
+        )
+        filled = fill_bucket_gaps(
+            df, ["sink"], time_col="ts", bucket_width=300
+        ).orderBy("ts")
+        got = [(str(r["ts"]), r["cnt"]) for r in filled.collect()]
+        assert got == [
+            ("2025-11-02 01:45:00", 100),
+            ("2025-11-02 01:50:00", 100),
+            ("2025-11-02 01:55:00", 100),
+            ("2025-11-02 02:00:00", 100),
+            ("2025-11-02 02:05:00", 0),  # exactly ONE synthesized zero
+            ("2025-11-02 02:10:00", 100),
+        ]
+        assert dict(filled.dtypes)["ts"] == "timestamp_ntz"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

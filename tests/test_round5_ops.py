@@ -686,3 +686,40 @@ def test_salted_skew_join_guards(spark):
     # n_salts=1 degenerates to the plain join
     got = salted_skew_join(big, small, "key", n_salts=1).count()
     assert got == big.join(small, "key").count()
+
+
+def test_salted_skew_join_null_salt_expr_keeps_rows(spark):
+    """A caller-supplied salt_expr that evaluates NULL must not drop
+    rows (NULL join keys match nothing) — coalesced to salt 0."""
+    from ves_spark.operators.joins import salted_skew_join
+
+    big = spark.createDataFrame(
+        [(1, "hot"), (None, "hot"), (None, "k0"), (4, "miss")],
+        "uid long, key string",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k0", "A")], "key string, attr string"
+    )
+    got = salted_skew_join(
+        big, small, "key", n_salts=4, salt_expr=F.xxhash64("uid")
+    )
+    want = big.join(small, "key")
+    assert got.count() == want.count() == 3
+    assert (
+        salted_skew_join(
+            big, small, "key", n_salts=4, how="left",
+            salt_expr=F.xxhash64("uid"),
+        ).count()
+        == big.join(small, "key", "left").count()
+    )
+
+
+def test_dedup_against_history_rejects_bad_expected_keys(spark):
+    import pytest as _pytest
+
+    from ves_spark.operators.bloom import dedup_against_history
+
+    hist = spark.createDataFrame([("h1", "a")], "doc_id string, text string")
+    new = spark.createDataFrame([("n1", "b")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="expected_keys"):
+        dedup_against_history(new, hist, expected_keys=0)

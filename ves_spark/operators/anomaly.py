@@ -42,20 +42,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
 def _time_key(df: DataFrame, time_col: str):
-    """Numeric ordering key for ``time_col`` (epoch seconds for any
-    time type — TIMESTAMP, TIMESTAMP_NTZ, DATE — plain long
-    otherwise) + whether it was a time type. Dtype-string dispatch, not
-    isinstance: parquet scans yield TIMESTAMP_NTZ, which is a distinct
-    type ANSI mode refuses to cast straight to BIGINT."""
+    """``(key_expr, restore_fn)`` for ``time_col``: a numeric seconds
+    key plus the inverse mapping a long column name back to the
+    ORIGINAL dtype. Dtype-string dispatch, not isinstance: parquet
+    scans yield TIMESTAMP_NTZ, a distinct type ANSI mode refuses to
+    cast straight to BIGINT.
+
+    Each type converts timezone-free in BOTH directions, so a DST
+    transition in the session timezone can neither warp the bucket
+    spacing nor relabel buckets on the way back:
+
+    * TIMESTAMP (instant): ``unix_timestamp`` / ``timestamp_seconds``
+      — pure epoch arithmetic, no wall-clock strings;
+    * TIMESTAMP_NTZ / DATE (wall time): ``timestampdiff`` /
+      ``timestampadd`` against an NTZ epoch literal — pure wall-time
+      arithmetic, the session timezone never participates;
+    * numeric: plain cast."""
     dt = dict(df.dtypes)[time_col]
-    is_ts = dt.startswith("timestamp") or dt == "date"
-    key = (
-        F.unix_timestamp(F.col(time_col).cast("timestamp")).cast("long")
-        if is_ts
-        else F.col(time_col).cast("long")
-    )
-    return key, is_ts
+    c = f"`{time_col}`"
+    if dt == "timestamp":
+        key = F.unix_timestamp(F.col(time_col)).cast("long")
+        restore = lambda k: F.timestamp_seconds(F.col(k))  # noqa: E731
+    elif dt.startswith("timestamp") or dt == "date":  # NTZ / DATE
+        key = F.expr(
+            f"timestampdiff(SECOND, {_NTZ_EPOCH}, CAST({c} AS TIMESTAMP_NTZ))"
+        ).cast("long")
+        restore = lambda k: F.expr(  # noqa: E731
+            f"timestampadd(SECOND, `{k}`, {_NTZ_EPOCH})"
+        )
+    else:
+        key = F.col(time_col).cast("long")
+        restore = lambda k: F.col(k)  # noqa: E731
+
+    def restore_typed(k: str):
+        return restore(k).cast(dt).alias(time_col)
+
+    return key, restore_typed
 
 
 def fill_bucket_gaps(
@@ -76,7 +102,7 @@ def fill_bucket_gaps(
     Scale: one metadata-sized per-series min aggregate, one global
     single-row max broadcast, one ``sequence``-explode whose output is
     series × horizon buckets — rollup-scale, never event-scale."""
-    t_key, is_ts = _time_key(rollup, time_col)
+    t_key, restore = _time_key(rollup, time_col)
     keyed = rollup.withColumn("_t_key", t_key)
     lo = keyed.groupBy(*group_cols).agg(F.min("_t_key").alias("_lo"))
     hi = keyed.agg(F.max("_t_key").alias("_hi"))
@@ -99,13 +125,7 @@ def fill_bucket_gaps(
     ).withColumn(value_col, F.coalesce(F.col(value_col), F.lit(0)))
     # reconstruct the ORIGINAL dtype (timestamp vs timestamp_ntz vs
     # date vs numeric) so filled output unions cleanly with the input
-    dt = dict(rollup.dtypes)[time_col]
-    t_out = (
-        F.from_unixtime("_t_key").cast(dt).alias(time_col)
-        if is_ts
-        else F.col("_t_key").cast(dt).alias(time_col)
-    )
-    return filled.select(*group_cols, t_out, value_col)
+    return filled.select(*group_cols, restore("_t_key"), value_col)
 
 
 def detect_rate_spikes(
@@ -125,9 +145,11 @@ def detect_rate_spikes(
     ``bucket_width`` is the spacing between adjacent buckets in
     ``time_col``'s units — seconds when ``time_col`` is a timestamp
     (e.g. 300 for a 5-minute rollup), plain units when it is numeric.
-    The baseline for a bucket at time t is every bucket in
-    ``(t - lookback*bucket_width, t)`` — at most ``lookback`` buckets,
-    fewer when the series was idle.
+    The baseline for a bucket at time t is every bucket in the CLOSED
+    interval ``[t - lookback*bucket_width, t - 1]`` (rangeBetween is
+    inclusive at both frame ends) — at most ``lookback + 1`` grid
+    positions but ``lookback`` actual buckets on a width-aligned
+    rollup, fewer when the series was idle.
 
     Adds ``base_n``, ``base_mean``, ``base_std`` (population, over the
     trailing span), ``z`` (null when the baseline is flat or too

@@ -121,6 +121,13 @@ def dedup_against_history(
     correctness). Without it, one dedicated ``count()`` scan of
     history sizes the bitmap (16 bits/key, 7 probes → ~epsilon 4e-4
     false-positive candidates to verify)."""
+    if expected_keys is not None and expected_keys < 1:
+        raise ValueError(
+            f"expected_keys must be >= 1, got {expected_keys} — a zero/"
+            "negative sizing hint (e.g. an empty first-epoch checkpoint "
+            "metric) would collapse the bitmap and turn the 'tiny "
+            "candidate set' into the whole batch; pass None to count"
+        )
     h_hist = hist_df.select(F.xxhash64(F.col(text_col)).alias("h"))
     n = expected_keys if expected_keys is not None else h_hist.count()
     m_bits = 1 << max(14, int(max(n, 1) * bits_per_key - 1).bit_length())

@@ -147,7 +147,9 @@ def salted_skew_join(
     share a salt (they carry no distinguishing bits to hash); callers
     with such data pass e.g. ``salt_expr=F.xxhash64("doc_id")`` on a
     unique column, or any expression of their choosing — salt values
-    never affect the result, only the spread.
+    never affect the result, only the spread (a NULL-evaluating
+    expression is coalesced to salt 0, so nullable salt columns cannot
+    silently drop rows from the join).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left"):
@@ -159,7 +161,10 @@ def salted_skew_join(
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if salt_expr is None:
         salt_expr = F.xxhash64(F.struct(*[F.col(c) for c in big.columns]))
-    b = big.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)).cast("int"))
+    b = big.withColumn(
+        "_salt",
+        F.coalesce(F.pmod(salt_expr, F.lit(n_salts)), F.lit(0)).cast("int"),
+    )
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -25,6 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ves_spark.operators.crossengine import duck_md5_int_sql, spark_md5_int
+
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -1063,8 +1065,6 @@ def _kmeans_prefix_sql(
     # cent_vec is already DOUBLE — the redundant CAST keeps one cosine
     # template for both raw-float and trained-centroid operands
     c_cent = cos.format(a="c_vec", b="cent_vec")
-    from ves_spark.operators.crossengine import duck_md5_int_sql
-
     md5_32 = duck_md5_int_sql("c_id", 8)
     sums = ",\n             ".join(
         f"sum(CAST(floor(CAST(c_vec[{d + 1}] AS DOUBLE) * {q_dbl}) AS BIGINT)) AS s{d + 1}"
@@ -2302,18 +2302,10 @@ def cdc_snapshot_diff(spark, sf_dir):
 
 
 def _spark_md5_32(col):
-    from ves_spark.operators.crossengine import spark_md5_int
-
     return spark_md5_int(col, 8)
 
 
-def _duck_md5_32() -> str:
-    from ves_spark.operators.crossengine import duck_md5_int_sql
-
-    return duck_md5_int_sql("doc_id", 8)
-
-
-_DUCK_MD5_32 = _duck_md5_32()
+_DUCK_MD5_32 = duck_md5_int_sql("doc_id", 8)
 
 
 @register(
@@ -2483,8 +2475,11 @@ def stream_dedup_docs(spark, sf_dir):
     # stable md5 base per sf_dir + pid (same discipline as the other
     # stream queries): same-process reruns reuse-and-clean ONE dir and
     # ONE memory-sink view instead of leaking a corpus copy and a
-    # fresh temp view per invocation; the pid keeps concurrent drivers
-    # out of each other's live source.
+    # fresh temp view per invocation; the pid keeps concurrent DRIVER
+    # PROCESSES apart. Two concurrent invocations inside one process
+    # would collide (shared dir + duplicate query name) — this is a
+    # driver-harness fixture, invoked serially by bench/correctness
+    # runs, never a concurrent library API.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     work = (
         f"{tempfile.gettempdir()}/ves_streamdedup_{tag}_{_os.getpid()}"

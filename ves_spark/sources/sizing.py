@@ -238,7 +238,18 @@ def compact_small_files(
                     dirs.remove(d)
                     break
 
-    def _compact_one(leaf: str) -> dict:
+    def _leaf_rows(leaf: str) -> int:
+        # parquet footer metadata, read driver-side — no Spark job per
+        # leaf (a 500-partition table must not pay 500 count() jobs)
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        return sum(
+            pq.ParquetFile(os.path.join(leaf, f)).metadata.num_rows
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        )
+
+    def _compact_one(leaf: str, n_rows: int, bpr: float) -> dict:
         df = spark.read.parquet(leaf)
 
         def _write(tmp_new: str) -> dict:
@@ -246,10 +257,20 @@ def compact_small_files(
                 from ves_spark.sources.zorder import write_zordered  # noqa: PLC0415
 
                 return write_zordered(
-                    df, tmp_new, zorder_cols, target_file_bytes=target_file_bytes
+                    df,
+                    tmp_new,
+                    zorder_cols,
+                    target_file_bytes=target_file_bytes,
+                    n_rows=n_rows,
+                    row_bytes=bpr,
                 )
             return write_sized(
-                df, tmp_new, target_file_bytes, cluster_cols=cluster_cols
+                df,
+                tmp_new,
+                target_file_bytes,
+                n_rows=n_rows,
+                row_bytes=bpr,
+                cluster_cols=cluster_cols,
             )
 
         return _swap_in(_write, leaf)
@@ -260,9 +281,19 @@ def compact_small_files(
     before = sum(
         1 for d in leaves for f in os.listdir(d) if f.endswith(".parquet")
     )
+    # encoded bytes/row is a property of the TABLE's schema and value
+    # distribution, stable across its partitions (same premise as the
+    # pipeline's once-per-run probe) — measure it once on the largest
+    # leaf, not once per leaf
+    rows_per_leaf = {leaf: _leaf_rows(leaf) for leaf in leaves}
+    probe_leaf = max(leaves, key=lambda d: rows_per_leaf[d])
+    if rows_per_leaf[probe_leaf] == 0:
+        bpr = 0.0  # every leaf empty; write_sized handles n=0 itself
+    else:
+        bpr = estimate_row_bytes(spark.read.parquet(probe_leaf))
     stats: dict = {"n_files": 0, "rows_per_file": 0, "row_bytes": 0.0}
     for leaf in leaves:
-        s = _compact_one(leaf)
+        s = _compact_one(leaf, rows_per_leaf[leaf], bpr)
         # write_sized and write_zordered report slightly different key
         # sets; sum/max what each provides
         stats["n_files"] += s.get("n_files", 0)

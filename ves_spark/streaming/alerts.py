@@ -39,7 +39,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ves_spark.operators.anomaly import detect_rate_spikes
+from ves_spark.operators.anomaly import _time_key, detect_rate_spikes
 
 _STATE_PREFIX = "state_"
 
@@ -139,8 +139,6 @@ class SpikeAlertSink:
         # scored row is persisted (not just flags): the score table
         # doubles as the audit trail; alerting is a filter.
         if self.fill_gaps:
-            from ves_spark.operators.anomaly import _time_key
-
             t_key, _ = _time_key(scored, self.time_col)
             scored_k = scored.withColumn("_t_key", t_key)
             if baseline is None:
@@ -180,11 +178,9 @@ class SpikeAlertSink:
         # generated zero buckets must enter the state so (a) future
         # baselines include them and (b) the high-water-mark emission
         # rule sees them as already-emitted.
-        from ves_spark.operators.anomaly import _time_key as _tk
-
         span = self.lookback * self.bucket_width
         state_rows = scored.select(*cols)
-        t_key, _ = _tk(state_rows, self.time_col)
+        t_key, _ = _time_key(state_rows, self.time_col)
         keyed = state_rows.withColumn("_t_key", t_key)
         mx = keyed.groupBy(*self.group_cols).agg(F.max("_t_key").alias("_mx"))
         new_state = (
