@@ -723,3 +723,28 @@ def test_dedup_against_history_rejects_bad_expected_keys(spark):
     new = spark.createDataFrame([("n1", "b")], "doc_id string, text string")
     with _pytest.raises(ValueError, match="expected_keys"):
         dedup_against_history(new, hist, expected_keys=0)
+
+
+def test_cli_alerts_flag_writes_alert_table(spark, tmp_path):
+    """--alerts makes the batch alerting user-reachable: score the
+    finalized rollup (gap-filled spike+drop detector) and land the
+    flagged buckets next to the run's other outputs."""
+    from ves_spark import __main__ as cli
+    from ves_spark.synth import write_fixture
+
+    fix = str(tmp_path / "fix")
+    write_fixture(fix, 8_000, seed=7)
+    out = str(tmp_path / "out")
+    cli.main([
+        "--sequences", f"{fix}/sequences.parquet",
+        "--source-meta", f"{fix}/source_meta.parquet",
+        "--route-rules", f"{fix}/route_rules.parquet",
+        "--out", out, "--units", "2", "--units-per-increment", "2",
+        "--alerts",
+    ])
+    al = spark.read.parquet(f"{out}/alerts")
+    assert {"sink", "source", "time_bucket", "is_spike", "is_drop"} <= set(
+        al.columns
+    )
+    # every flagged row is flagged for a reason the schema exposes
+    assert al.filter("NOT is_spike AND NOT is_drop").count() == 0

@@ -83,8 +83,27 @@ def main(argv: list[str] | None = None) -> None:
         "processing newly appended files (the reference's discovery "
         "loop); 0 = single pass",
     )
+    p.add_argument(
+        "--alerts",
+        action="store_true",
+        help="after the run, score the finalized rollup with the "
+        "trailing-baseline spike/drop detector (gap-filled) and write "
+        "the flagged buckets to <out>/alerts",
+    )
+    p.add_argument(
+        "--alert-lookback",
+        type=int,
+        default=12,
+        help="trailing baseline length in buckets for --alerts",
+    )
     args = p.parse_args(argv)
 
+    # get_spark is getOrCreate: when a caller (tests, a notebook)
+    # already owns a session, reuse it and DON'T stop it on exit —
+    # killing a borrowed SparkContext breaks the caller
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="ves_spark_pipeline")
     conf = PipelineConfig(
         sequences_path=args.sequences,
@@ -106,6 +125,22 @@ def main(argv: list[str] | None = None) -> None:
     pipe = Pipeline(spark, conf)
     stats = pipe.run()
     print(json.dumps(stats))
+    if args.alerts:
+        from ves_spark.operators.anomaly import detect_rate_spikes
+        from ves_spark.parse import TIME_BUCKET_MINUTES
+
+        scored = detect_rate_spikes(
+            pipe.finalize_rollup(),
+            ["sink", "source"],
+            time_col="time_bucket",
+            value_col="cnt",
+            lookback=args.alert_lookback,
+            bucket_width=TIME_BUCKET_MINUTES * 60,
+            fill_gaps=True,
+        )
+        flagged = scored.filter("is_spike OR is_drop")
+        flagged.write.mode("overwrite").parquet(f"{args.out}/alerts")
+        print(json.dumps({"alerts": flagged.count()}))
     if args.watch_interval > 0:
         # the reference's rescan loop (discovery.rs:56-87): discover()
         # assigns any newly appeared files to a fresh ingest batch and
@@ -117,7 +152,8 @@ def main(argv: list[str] | None = None) -> None:
             stats = pipe.run()
             if stats["units_processed"]:
                 print(json.dumps(stats))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":
