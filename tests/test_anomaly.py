@@ -259,3 +259,16 @@ def test_ntz_fill_is_dst_proof(spark):
         assert dict(filled.dtypes)["ts"] == "timestamp_ntz"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_fill_gaps_grid_bound_raises_loudly(spark):
+    from ves_spark.operators.anomaly import fill_bucket_gaps
+
+    df = spark.createDataFrame(
+        [("s", 0, 1), ("s", 10_000, 1)], "sink string, t long, cnt long"
+    )
+    with pytest.raises(Exception, match="pre-filter"):
+        fill_bucket_gaps(
+            df, ["sink"], time_col="t", bucket_width=1,
+            max_buckets_per_series=1000,
+        ).count()

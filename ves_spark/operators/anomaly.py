@@ -90,6 +90,7 @@ def fill_bucket_gaps(
     time_col: str = "time_bucket",
     value_col: str = "cnt",
     bucket_width: int = 1,
+    max_buckets_per_series: int = 2_000_000,
 ) -> DataFrame:
     """Densify an event-only rollup: emit an explicit ``value = 0``
     row for every bucket a series was silent, from the series' FIRST
@@ -101,17 +102,38 @@ def fill_bucket_gaps(
 
     Scale: one metadata-sized per-series min aggregate, one global
     single-row max broadcast, one ``sequence``-explode whose output is
-    series × horizon buckets — rollup-scale, never event-scale."""
+    series × horizon buckets — rollup-scale, never event-scale. The
+    per-series grid is bounded: ``sequence`` builds ONE in-memory
+    array per series before exploding, so an unwindowed multi-year
+    rollup at a fine width would silently OOM an executor —
+    ``max_buckets_per_series`` makes that case fail LOUDLY (the
+    ``assert_true`` is folded into the grid column so pruning cannot
+    drop it), telling the caller to pre-filter the rollup's time range
+    or coarsen the width, the right alerting shape anyway."""
     t_key, restore = _time_key(rollup, time_col)
     keyed = rollup.withColumn("_t_key", t_key)
     lo = keyed.groupBy(*group_cols).agg(F.min("_t_key").alias("_lo"))
     hi = keyed.agg(F.max("_t_key").alias("_hi"))
+    w = F.lit(int(bucket_width))
+    guard = F.assert_true(
+        (F.col("_hi") - F.col("_lo")) / w
+        < F.lit(int(max_buckets_per_series)),
+        F.concat(
+            F.lit(
+                "fill_bucket_gaps: a series would densify to more than "
+                f"{max_buckets_per_series} buckets — pre-filter the "
+                "rollup's time range or use a coarser bucket_width"
+            ),
+        ),
+    )
     grid = (
         lo.join(F.broadcast(hi))
         .select(
             *group_cols,
             F.explode(
-                F.sequence("_lo", "_hi", F.lit(int(bucket_width)))
+                F.when(
+                    guard.isNull(), F.sequence("_lo", "_hi", w)
+                )
             ).alias("_t_key"),
         )
     )
