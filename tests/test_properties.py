@@ -210,3 +210,98 @@ def test_bucketed_range_join_equals_naive(spark, points, intervals, width):
         if s <= x < e
     )
     assert got == want
+
+
+# --------------------------------------------------------- salted join
+_keys = st.sampled_from(["hot", "k1", "k2", "k3", "missing"])
+_big_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), _keys), min_size=1, max_size=40
+)
+_small_rows = st.lists(
+    st.tuples(_keys, st.integers(0, 99)), min_size=0, max_size=10
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(big=_big_rows, small=_small_rows, n_salts=st.integers(1, 7))
+def test_salted_join_equals_plain_join(spark, big, small, n_salts):
+    """For ANY frames (dup keys both sides, missing keys, any salt
+    count), the salted join is row-for-row the plain join — salts are
+    pure placement, never semantics."""
+    from ves_spark.operators.joins import salted_skew_join
+
+    b = spark.createDataFrame(big, "rid long, key string")
+    s = spark.createDataFrame(small, "key string, attr long") if small else (
+        spark.createDataFrame([], "key string, attr long")
+    )
+    for how in ("inner", "left"):
+        got = (
+            salted_skew_join(b, s, "key", n_salts=n_salts, how=how)
+            .groupBy("rid", "key", "attr").count().collect()
+        )
+        want = (
+            b.join(s, "key", how)
+            .groupBy("rid", "key", "attr").count().collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+# ----------------------------------------------------------- PSI drift
+_cat_counts = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]), st.integers(1, 50),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(p=_cat_counts, q=_cat_counts)
+def test_psi_nonnegative_zero_iff_equal(spark, p, q):
+    """PSI >= 0 always; == 0 exactly when the two share distributions
+    (it is an f-divergence). Symmetric ONLY when both snapshots share
+    a support: the category set is deliberately anchored to the
+    REFERENCE side, so differing supports fold differently by design
+    (a new epoch must not define its own yardstick)."""
+    from ves_spark.operators.drift import population_stability
+
+    mk = lambda cnts: spark.createDataFrame(  # noqa: E731
+        [(k,) for k, n in cnts.items() for _ in range(n)], "src string"
+    )
+    fwd = population_stability(mk(p), mk(q), categorical_cols=["src"])["src"]
+    assert fwd >= 0
+    if set(p) == set(q):  # equal supports -> one shared yardstick
+        rev = population_stability(mk(q), mk(p), categorical_cols=["src"])["src"]
+        assert abs(fwd - rev) < 1e-9
+    tp, tq = sum(p.values()), sum(q.values())
+    same_dist = {k: p.get(k, 0) / tp for k in "abcd"} == {
+        k: q.get(k, 0) / tq for k in "abcd"
+    }
+    assert (fwd < 1e-12) == same_dist
+
+
+# ------------------------------------------------------------ gap fill
+_series_rows = st.lists(
+    st.tuples(st.sampled_from(["s1", "s2"]), st.integers(0, 40),
+              st.integers(1, 100)),
+    min_size=1, max_size=30, unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_series_rows)
+def test_fill_gaps_mass_and_grid_invariants(spark, rows):
+    """Densifying never changes total mass, keeps every real bucket,
+    and every series ends exactly at the global max bucket."""
+    from ves_spark.operators.drift import population_stability  # noqa: F401
+    from ves_spark.operators.anomaly import fill_bucket_gaps
+
+    df = spark.createDataFrame(rows, "sink string, t long, cnt long")
+    filled = fill_bucket_gaps(df, ["sink"], time_col="t", bucket_width=1)
+    got = {(r["sink"], r["t"]): r["cnt"] for r in filled.collect()}
+    gmax = max(t for _s, t, _c in rows)
+    for s, t, c in rows:
+        assert got[(s, t)] == c  # real buckets intact
+    assert sum(got.values()) == sum(c for _s, _t, c in rows)
+    for s in {r[0] for r in rows}:
+        lo = min(t for s2, t, _c in rows if s2 == s)
+        ts = sorted(t for (s2, t) in got if s2 == s)
+        assert ts == list(range(lo, gmax + 1))  # dense to the horizon
