@@ -115,3 +115,28 @@ def test_requires_columns(spark):
     df = spark.range(5)
     with pytest.raises(ValueError, match="at least one column"):
         population_stability(df, df)
+
+
+def test_embedding_norm_drift(spark):
+    """Drift reaches the embedding modality through derived numeric
+    marginals: PSI over L2 norms is ~0 for same-generator snapshots
+    and fires when the current epoch's vectors are rescaled (the
+    classic symptom of a changed encoder checkpoint)."""
+    from ves_spark.operators.similarity import l2_norm
+
+    a = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select(l2_norm(F.col("embedding")).alias("norm"))
+    )
+    same = population_stability(a, a, numeric_cols=["norm"])["norm"]
+    assert same == pytest.approx(0.0, abs=1e-9)
+
+    rescaled = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select(
+            (l2_norm(F.col("embedding")) * F.when(F.xxhash64("vec_id") % 2 == 0, 1.5)
+             .otherwise(1.0)).alias("norm")
+        )
+    )
+    shifted = population_stability(a, rescaled, numeric_cols=["norm"])["norm"]
+    assert shifted > 0.25

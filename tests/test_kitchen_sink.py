@@ -163,6 +163,29 @@ def test_all_features_crash_resume_equals_single_shot(
         single.trigram_freq_per_sink(tris).toPandas(),
     )
 
-    # 7. idempotent third run: everything committed -> no-op
+    # 7. alerting composes: the gap-filled spike/drop detector scores
+    #    the crash/resumed rollup identically to the single-shot one
+    from ves_spark.operators.anomaly import detect_rate_spikes
+
+    def _scores(pipe):
+        return (
+            detect_rate_spikes(
+                pipe.finalize_rollup(),
+                ["sink", "source"],
+                time_col="time_bucket",
+                value_col="cnt",
+                lookback=12,
+                bucket_width=300,
+                fill_gaps=True,
+            )
+            .select(
+                "sink", "source", "time_bucket", "cnt", "is_spike", "is_drop"
+            )
+            .toPandas()
+        )
+
+    assert_same_rows(_scores(resumed), _scores(single))
+
+    # 8. idempotent third run: everything committed -> no-op
     again = Pipeline(spark, _conf(ks_fix, out, "ks-c", impl))
     assert again.run()["units_processed"] == 0
