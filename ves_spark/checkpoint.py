@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 import uuid
 from datetime import datetime, timezone
+from typing import NamedTuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -55,6 +56,41 @@ from pyspark.sql import functions as F
 
 def unit_col(n_units: int):
     return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_units)).cast("int")
+
+
+class FpParts(NamedTuple):
+    """Parsed file fingerprint. v1 = "size:tail_md5" (pre-round-6
+    stores); v2 = "size:tail_md5:head_md5:nrows" — the head hash and
+    parquet row count exist so discovery can tell a pure APPEND (head
+    unchanged, size and nrows grew — the reference tailer's
+    "reads only new bytes" precondition, src/tailer/models.rs:84-86)
+    from a rewrite-in-place (anything else)."""
+
+    size: int
+    tail: str
+    head: str | None  # None = v1 fingerprint (no head hash recorded)
+    nrows: int  # -1 = unknown (v1, or footer unreadable)
+
+
+def fp_parts(fp: str | None) -> FpParts:
+    if not fp:
+        return FpParts(-1, "", None, -1)
+    p = fp.split(":")
+    if len(p) == 2:
+        return FpParts(int(p[0]), p[1], None, -1)
+    return FpParts(int(p[0]), p[1], p[2], int(p[3]))
+
+
+def fp_equal(stored: str | None, current: str | None) -> bool:
+    """Same content? A v1 fingerprint on either side compares on the
+    (size, tail) fields it carries — so upgrading the fingerprint
+    format ADOPTS rather than retiring every committed batch."""
+    if stored is None or current is None:
+        return False
+    s, c = fp_parts(stored), fp_parts(current)
+    if s.head is None or c.head is None:
+        return s.size == c.size and s.tail == c.tail
+    return stored == current
 
 
 class LineageStore:
@@ -407,11 +443,297 @@ class LineageStore:
             ]
         )
 
+    def record_append_batch(
+        self,
+        batch_seq: int,
+        run_id: str,
+        extracts: list[dict],
+        claims: list[dict],
+    ) -> None:
+        """Commit an APPEND batch in ONE atomic lineage append: the
+        ingest rows for the extract files the batch will READ, plus an
+        'append-claim' row per ORIGINAL grown file recording the new
+        fingerprint and the row high-water mark the extract covers
+        (rows = hi). A crash before this call leaves only orphan
+        extract files (overwritten on retry — deterministic names); a
+        crash after it resumes through normal unit-level pending work.
+
+        ``extracts``: [{source, fingerprint, bytes}]  (extract files)
+        ``claims``:   [{source, fingerprint, rows}]   (original files)
+        """
+        rows = [
+            {
+                "run_id": run_id,
+                "stage": "ingest",
+                "batch_seq": batch_seq,
+                "unit_id": -1,
+                "source": e["source"],
+                "rows": 0,
+                "bytes": e.get("bytes", 0),
+                "snapshot_id": batch_seq,
+                "fingerprint": e["fingerprint"],
+            }
+            for e in extracts
+        ] + [
+            {
+                "run_id": run_id,
+                "stage": "append-claim",
+                "batch_seq": batch_seq,
+                "unit_id": -2,
+                "source": c["source"],
+                "rows": int(c.get("rows", fp_parts(c["fingerprint"]).nrows)),
+                "bytes": 0,
+                "snapshot_id": batch_seq,
+                "fingerprint": c["fingerprint"],
+            }
+            for c in claims
+        ]
+        self.append(rows)
+
+    # --------------------------------------------- discovery (Spark-side)
+    # Driver-memory discipline (round-5 'What's wrong #2'): the
+    # per-(batch, file) map stays a Spark frame; the driver collects
+    #   * discovery_delta: ONLY paths whose fingerprint differs from
+    #     the current input set (steady state: zero rows) + one max agg,
+    #   * pending_work: one row per batch (done-unit counts), then unit
+    #     sets + file lists ONLY for batches that still have work,
+    #   * batch_files / claims_by_paths: filtered to the (rare) change
+    #     set.
+    # Steady-state driver materialization is O(batches), never
+    # O(batches x files); the O(current files) `current` dict is the
+    # discovery stat pass itself, inherent to a driver-side lister.
+
+    _EPOCH_ORD = "struct(committed_at IS NOT NULL, committed_at, coalesce(fingerprint, ''))"
+
+    def _claims(self, spark) -> DataFrame | None:
+        """Latest ACTIVE claim per (batch_seq, source): an 'ingest'
+        row claims the file the batch reads; an 'append-claim' row
+        claims the original grown file an append batch extracted
+        from. Later rows for the same (batch, source) — fingerprint
+        adoptions, format upgrades — supersede earlier ones
+        (latest committed_at; fingerprint string as the tiebreak, so
+        a v2 fingerprint beats its v1/None predecessor even on a
+        timestamp collision)."""
+        df = self.read(spark)
+        if df is None:
+            return None
+        retired = (
+            df.filter(F.col("stage") == "retire")
+            .select("batch_seq")
+            .distinct()
+        )
+        return (
+            df.filter(F.col("stage").isin("ingest", "append-claim"))
+            .join(retired, "batch_seq", "left_anti")
+            .groupBy("batch_seq", "source")
+            .agg(
+                F.expr(
+                    f"max_by(struct(fingerprint, stage), {self._EPOCH_ORD})"
+                ).alias("v")
+            )
+            .select(
+                "batch_seq",
+                "source",
+                F.col("v.fingerprint").alias("fingerprint"),
+                F.col("v.stage").alias("kind"),
+            )
+        )
+
+    def discovery_delta(self, spark, current: dict[str, str]) -> dict:
+        """Compare the current input fingerprints against the stored
+        claims IN SPARK and return only the differences:
+
+        ``new``     — paths with no active claim
+        ``changed`` — [{path, batch_seq, kind, fingerprint, cur_fp,
+                        batches}] where the authoritative claim (the
+                        highest-seq batch claiming the path) disagrees
+                        with the current fingerprint
+        ``missing`` — [{path, fingerprint, batches}] claimed paths
+                        absent from the current input set
+        ``max_seq`` — highest batch_seq ever assigned (incl. retired)
+
+        Steady state collects ZERO delta rows."""
+        claims = self._claims(spark)
+        if claims is None:
+            return {
+                "new": sorted(current),
+                "changed": [],
+                "missing": [],
+                "max_seq": -1,
+            }
+        mx = self.read(spark).agg(F.max("batch_seq")).first()[0]
+        per_path = claims.groupBy("source").agg(
+            F.expr(
+                "max_by(struct(batch_seq, fingerprint, kind), batch_seq)"
+            ).alias("a"),
+            F.sort_array(F.collect_set("batch_seq")).alias("batches"),
+        )
+        cur_df = spark.createDataFrame(
+            list(current.items()) or [], "source string, cur_fp string"
+        )
+        delta = (
+            per_path.join(cur_df, "source", "full_outer")
+            .filter(
+                F.col("a").isNull()
+                | F.col("cur_fp").isNull()
+                | F.col("a.fingerprint").isNull()
+                | (F.col("a.fingerprint") != F.col("cur_fp"))
+            )
+            .collect()
+        )
+        new, changed, missing = [], [], []
+        for r in delta:
+            if r["a"] is None:
+                new.append(r["source"])
+            elif r["cur_fp"] is None:
+                missing.append(
+                    {
+                        "path": r["source"],
+                        "fingerprint": r["a"]["fingerprint"],
+                        "batches": [int(b) for b in r["batches"]],
+                    }
+                )
+            else:
+                changed.append(
+                    {
+                        "path": r["source"],
+                        "batch_seq": int(r["a"]["batch_seq"]),
+                        "kind": r["a"]["kind"],
+                        "fingerprint": r["a"]["fingerprint"],
+                        "cur_fp": r["cur_fp"],
+                        "batches": [int(b) for b in r["batches"]],
+                    }
+                )
+        return {
+            "new": sorted(new),
+            "changed": changed,
+            "missing": missing,
+            "max_seq": -1 if mx is None else int(mx),
+        }
+
+    def pending_work(
+        self, spark, n_units: int
+    ) -> list[tuple[int, list[str], list[int]]]:
+        """(batch_seq, read files, pending unit ids) for every active
+        batch with uncommitted units. Collects one count row per
+        active batch, then unit sets + file lists only for the
+        incomplete ones — a fully-committed store collects O(batches)
+        tiny rows and zero file lists."""
+        df = self.read(spark)
+        if df is None:
+            return []
+        retired = (
+            df.filter(F.col("stage") == "retire").select("batch_seq").distinct()
+        )
+        ing = df.filter(F.col("stage") == "ingest").join(
+            retired, "batch_seq", "left_anti"
+        )
+        done = (
+            df.filter(F.col("stage") == "route")
+            .join(retired, "batch_seq", "left_anti")
+            .select("batch_seq", "unit_id")
+            .distinct()
+        )
+        counts = done.groupBy("batch_seq").agg(
+            F.countDistinct("unit_id").alias("n_done")
+        )
+        incomplete = [
+            int(r["batch_seq"])
+            for r in ing.select("batch_seq")
+            .distinct()
+            .join(counts, "batch_seq", "left")
+            .filter(F.coalesce(F.col("n_done"), F.lit(0)) < n_units)
+            .collect()
+        ]
+        if not incomplete:
+            return []
+        done_units: dict[int, set[int]] = {}
+        for r in done.filter(F.col("batch_seq").isin(incomplete)).collect():
+            done_units.setdefault(int(r["batch_seq"]), set()).add(
+                int(r["unit_id"])
+            )
+        files = self.batch_files(spark, incomplete)
+        out = []
+        for seq in sorted(incomplete):
+            pend = [
+                u for u in range(n_units) if u not in done_units.get(seq, set())
+            ]
+            out.append((seq, files.get(seq, []), pend))
+        return out
+
+    def batch_files(self, spark, seqs) -> dict[int, list[str]]:
+        """batch_seq -> sorted files the batch READS (ingest rows
+        only; append-claim rows name the original grown file, which
+        the append batch does NOT read). Filtered collect — O(files
+        in the requested batches)."""
+        df = self.read(spark)
+        seqs = [int(s) for s in seqs]
+        if df is None or not seqs:
+            return {}
+        rows = (
+            df.filter(
+                (F.col("stage") == "ingest") & F.col("batch_seq").isin(seqs)
+            )
+            .select("batch_seq", "source")
+            .distinct()
+            .collect()
+        )
+        out: dict[int, list[str]] = {}
+        for r in rows:
+            out.setdefault(int(r["batch_seq"]), []).append(r["source"])
+        return {k: sorted(v) for k, v in out.items()}
+
+    def batch_sources(self, spark, seqs) -> dict[int, list[str]]:
+        """batch_seq -> every path the batch touches (ingest AND
+        append-claim rows) — the edge set for the retire closure."""
+        df = self.read(spark)
+        seqs = [int(s) for s in seqs]
+        if df is None or not seqs:
+            return {}
+        rows = (
+            df.filter(
+                F.col("stage").isin("ingest", "append-claim")
+                & F.col("batch_seq").isin(seqs)
+            )
+            .select("batch_seq", "source")
+            .distinct()
+            .collect()
+        )
+        out: dict[int, list[str]] = {}
+        for r in rows:
+            out.setdefault(int(r["batch_seq"]), []).append(r["source"])
+        return {k: sorted(v) for k, v in out.items()}
+
+    def claims_by_paths(
+        self, spark, paths: list[str]
+    ) -> dict[str, list[tuple[int, str]]]:
+        """path -> [(active batch claiming it, claim kind)] — the
+        reverse edge set for the retire closure. Filtered collect."""
+        claims = self._claims(spark)
+        if claims is None or not paths:
+            return {}
+        rows = (
+            claims.filter(F.col("source").isin(list(paths)))
+            .select("source", "batch_seq", "kind")
+            .collect()
+        )
+        out: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            out.setdefault(r["source"], []).append(
+                (int(r["batch_seq"]), r["kind"])
+            )
+        return out
+
     def ingest_state(self, spark) -> tuple[dict[int, dict[str, str]], int]:
         """(active batches as batch_seq -> {file: fingerprint}, max
         batch_seq ever assigned — INCLUDING retired ones, so retired
         seq numbers are never reused: a reused seq would inherit the
-        dead batch's committed_units and skip real work)."""
+        dead batch's committed_units and skip real work).
+
+        LEGACY/diagnostic API: materializes every (batch, file) row on
+        the driver. The pipeline's discovery uses discovery_delta /
+        pending_work instead, which keep the per-file map in Spark and
+        collect O(changes) + O(batches)."""
         df = self.read(spark)
         if df is None:
             return {}, -1

@@ -189,19 +189,37 @@ class Pipeline:
 
     @staticmethod
     def _file_fingerprint(path: str, tail_bytes: int = 65536) -> str:
-        """Content identity: size + hash of the file tail. For parquet
-        the tail holds the footer (schema, row-group offsets, stats),
-        so any rewrite-in-place changes it; reading 64 KiB per file
-        keeps discovery metadata-cheap at 10^5 files."""
+        """Content identity v2: ``size:tail_md5:head_md5:nrows``. The
+        tail holds the parquet footer (schema, row-group offsets,
+        stats), so any rewrite-in-place changes it; the HEAD hash and
+        footer row count exist so discovery can classify a change as
+        a pure APPEND (head unchanged + size and nrows grew — the
+        reference tailer's "reads only new bytes … without re-opening"
+        precondition, src/tailer/models.rs:84-86) instead of a
+        rotation. Reading 2x64 KiB + the footer per file keeps
+        discovery metadata-cheap at 10^5 files; like the stat-cache
+        skip, a rewrite that preserves the first 64 KiB while growing
+        is classified as an append — acceptable for log-shaped inputs
+        where closed files are immutable and growth means append."""
         import hashlib
 
         size = os.path.getsize(path)
-        h = hashlib.md5()
+        head = hashlib.md5()
         with open(path, "rb") as f:
+            head.update(f.read(min(size, tail_bytes)))
             if size > tail_bytes:
+                tail = hashlib.md5()
                 f.seek(size - tail_bytes)
-            h.update(f.read(tail_bytes))
-        return f"{size}:{h.hexdigest()}"
+                tail.update(f.read(tail_bytes))
+            else:
+                tail = head  # v1 semantics: tiny file, tail == whole == head
+        try:
+            import pyarrow.parquet as pq
+
+            nrows = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            nrows = -1  # unreadable footer: append detection disabled
+        return f"{size}:{tail.hexdigest()}:{head.hexdigest()}:{nrows}"
 
     def _fingerprints(self, paths: list[str]) -> dict[str, str]:
         """Fingerprints for the current input set, hashing only what
@@ -227,7 +245,14 @@ class Pipeline:
         for p in paths:
             st = stats[p]
             c = cached.get(p)
-            if c and c[0] == st.st_size and c[1] == st.st_mtime_ns:
+            # the format check busts v1 ("size:tail") cache entries so
+            # an upgraded pipeline re-hashes once and caches v2
+            if (
+                c
+                and c[0] == st.st_size
+                and c[1] == st.st_mtime_ns
+                and c[2].count(":") >= 3
+            ):
                 out[p] = c[2]
             else:
                 to_hash.append(p)
@@ -235,9 +260,17 @@ class Pipeline:
             with ThreadPoolExecutor(min(32, len(to_hash))) as ex:
                 for p, fp in zip(to_hash, ex.map(self._file_fingerprint, to_hash)):
                     out[p] = fp
+        # MERGE into the cache rather than replacing it: discovery also
+        # fingerprints pipeline-owned extract files one at a time, and
+        # a replace would wipe the input files' entries (and vice
+        # versa). Entries for paths that no longer exist are pruned
+        # (one stat each — same order as the stat pass itself).
         entries = {
-            p: (stats[p].st_size, stats[p].st_mtime_ns, out[p]) for p in paths
+            p: v for p, v in cached.items() if p in stats or os.path.exists(p)
         }
+        entries.update(
+            (p, (stats[p].st_size, stats[p].st_mtime_ns, out[p])) for p in paths
+        )
         # skip the rewrite when nothing changed: a steady-state rescan
         # loop (every 5 s at 10^5 files) must not re-serialize a
         # multi-MB JSON per scan just to store what it already holds
@@ -259,75 +292,265 @@ class Pipeline:
         self.catalog.delete_partitions("seen_content", [{"batch_seq": batch_seq}])
         self.store.record_retire(batch_seq, self.conf.run_id, reason)
 
+    # ------------------------------------------------ append fast path
+    def _appends_dir(self) -> str:
+        return os.path.join(os.path.realpath(self.conf.out_dir), "appends")
+
+    def _extract_path(self, path: str, lo: int, hi: int) -> str:
+        """Deterministic name for the extract of rows [lo, hi) of
+        ``path`` — a crash between extraction and the lineage commit
+        re-extracts to the SAME name (overwrite), so orphans never
+        accumulate and never double-process."""
+        import hashlib
+
+        tag = hashlib.md5(path.encode()).hexdigest()[:10]
+        base = os.path.basename(path)
+        return os.path.join(
+            self._appends_dir(), f"append-{tag}-{lo}-{hi}-{base}"
+        )
+
+    @staticmethod
+    def _append_boundary_ok(path: str, lo: int) -> bool:
+        """A clean append leaves the old end-of-file at a row-group
+        boundary (row groups are atomic in parquet). Metadata-only
+        check; a misaligned boundary downgrades the event to a
+        rotation."""
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return False
+        cum = 0
+        for i in range(md.num_row_groups):
+            if cum == lo:
+                return True
+            cum += md.row_group(i).num_rows
+        return cum == lo
+
+    def _extract_rows(self, path: str, lo: int, hi: int) -> str:
+        """Copy the row groups covering rows [lo, hi) of ``path`` into
+        an immutable extract file and return its path. I/O is O(new
+        bytes) — the reference tailer's "reads only new bytes from the
+        source" (src/tailer/reader.rs:30-42) — never O(total file).
+        Driver-side like the rest of discovery; append events are the
+        rare path and move only the appended data."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        cum = 0
+        take: list[int] = []
+        for i in range(md.num_row_groups):
+            n = md.row_group(i).num_rows
+            if cum >= lo and cum + n <= hi:
+                take.append(i)
+            cum += n
+        got = sum(md.row_group(i).num_rows for i in take)
+        if got != hi - lo:
+            raise RuntimeError(
+                f"append extract misaligned for {path}: rows [{lo},{hi}) "
+                f"do not cover whole row groups (got {got})"
+            )
+        out = self._extract_path(path, lo, hi)
+        os.makedirs(self._appends_dir(), exist_ok=True)
+        tmp = f"{out}.tmp-{os.getpid()}"
+        writer = None
+        try:
+            for i in take:
+                t = pf.read_row_group(i)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, t.schema)
+                writer.write_table(t, row_group_size=t.num_rows)
+        finally:
+            if writer is not None:
+                writer.close()
+        os.replace(tmp, out)
+        return out
+
+    def _reconcile(self, current: dict[str, str]) -> bool:
+        """Apply the discovery delta to the store: adoptions, retire
+        closure, survivor re-ingest, append extraction, new-batch
+        record. All mutations are write-ahead lineage commits.
+        Returns True when any batch was retired — retirement can
+        expose further work (e.g. a lost extract retires its append
+        batch, and the original file's rows must then be re-appended
+        against the surviving claim), so the caller re-runs the
+        reconcile to the fixed point."""
+        from ves_spark.checkpoint import fp_equal, fp_parts
+
+        delta = self.store.discovery_delta(self.spark, current)
+        appends_dir = self._appends_dir() + os.sep
+        retire: dict[int, str] = {}
+        adoptions: list[tuple[int, str, str]] = []  # (seq, kind, path)
+        appends: list[tuple[str, int, int]] = []  # (path, lo, hi)
+
+        for m in delta["missing"]:
+            p = m["path"]
+            if p.startswith(appends_dir):
+                # pipeline-owned extract file: never part of the input
+                # listing, verified directly. Healthy -> no-op.
+                if os.path.exists(p) and fp_equal(
+                    m["fingerprint"], self._fingerprints([p])[p]
+                ):
+                    continue
+            for b in m["batches"]:
+                retire.setdefault(b, f"removed:{p}")
+
+        for c in delta["changed"]:
+            stored, cur = c["fingerprint"], c["cur_fp"]
+            if stored is None or fp_equal(stored, cur):
+                # identity unknown (pre-fingerprint store) or a pure
+                # format upgrade: ADOPT, never retire — a no-op
+                # upgrade must not reprocess every committed batch
+                adoptions.append((c["batch_seq"], c["kind"], c["path"]))
+                continue
+            s, k = fp_parts(stored), fp_parts(cur)
+            if (
+                s.head is not None
+                and s.head == k.head
+                and k.size > s.size
+                and s.nrows >= 0
+                and k.nrows > s.nrows
+                and not c["path"].startswith(appends_dir)
+                and self._append_boundary_ok(c["path"], s.nrows)
+            ):
+                appends.append((c["path"], s.nrows, k.nrows))
+            else:
+                for b in c["batches"]:
+                    retire.setdefault(b, f"rotated:{c['path']}")
+
+        # Retire CLOSURE: retiring a batch also retires every APPEND
+        # batch claiming one of its paths — a retired full batch's
+        # survivor is re-ingested FULLY (a surviving extract of its
+        # suffix would double rows), and a retired append invalidates
+        # every LATER append's high-water mark on the same path. The
+        # propagation is one-directional: losing an append batch never
+        # retires the original full batch (its rows are intact; the
+        # suffix just re-appends against the restored claim). Chains
+        # are short, so this converges in ~2 rounds.
+        while retire:
+            touched = {
+                p
+                for fl in self.store.batch_sources(
+                    self.spark, list(retire)
+                ).values()
+                for p in fl
+            }
+            grew = False
+            for p, bs in self.store.claims_by_paths(
+                self.spark, sorted(touched)
+            ).items():
+                for b, kind in bs:
+                    if kind == "append-claim" and b not in retire:
+                        retire[b] = f"derived:{p}"
+                        grew = True
+            if not grew:
+                break
+
+        retire_files = (
+            self.store.batch_files(self.spark, list(retire)) if retire else {}
+        )
+        for seq in sorted(retire):
+            self._retire_batch(seq, retire[seq])
+
+        # a path claimed only by now-retired batches and still present
+        # is re-ingested as new (includes the rotated path itself)
+        survivors = {
+            p for fl in retire_files.values() for p in fl if p in current
+        }
+        # an appended path whose claims were all retired must be
+        # re-ingested fully, not extracted against a dead claim
+        appends = [a for a in appends if a[0] not in survivors]
+
+        by_batch: dict[int, list[str]] = {}
+        for seq, kind, path in adoptions:
+            if seq in retire:
+                continue
+            if kind == "ingest":
+                by_batch.setdefault(seq, []).append(path)
+            else:  # re-affirm an append-claim under the new format
+                self.store.record_append_batch(
+                    seq,
+                    self.conf.run_id,
+                    extracts=[],
+                    claims=[{"source": path, "fingerprint": current[path]}],
+                )
+        for seq, paths in by_batch.items():
+            self.store.record_ingest(
+                seq, sorted(paths), self.conf.run_id, fingerprints=current
+            )
+
+        next_seq = delta["max_seq"]
+        new_files = sorted(set(delta["new"]) | survivors)
+        if new_files:
+            next_seq += 1  # never reuse a retired batch's seq
+            self.store.record_ingest(
+                next_seq, new_files, self.conf.run_id, fingerprints=current
+            )
+        if appends:
+            next_seq += 1
+            extracts, claims = [], []
+            for path, lo, hi in sorted(appends):
+                ep = self._extract_rows(path, lo, hi)
+                extracts.append(
+                    {
+                        "source": ep,
+                        "fingerprint": self._fingerprints([ep])[ep],
+                        "bytes": os.path.getsize(ep),
+                    }
+                )
+                claims.append(
+                    {
+                        "source": path,
+                        "fingerprint": current[path],
+                        "rows": hi,
+                    }
+                )
+            self.store.record_append_batch(
+                next_seq, self.conf.run_id, extracts=extracts, claims=claims
+            )
+        return bool(retire)
+
     def discover(self) -> list[tuple[int, list[str], list[int]]]:
         """(batch_seq, files, pending_units) for every batch with work.
 
         Lifecycle (the reference's FileCreated / FileRotated /
-        FileRemoved, src/watcher/events.rs:18-65):
+        FileRemoved, src/watcher/events.rs:18-65, plus the tailer's
+        incremental-read semantic, src/tailer/models.rs:84-86):
         * new path            -> joins a fresh batch (write-ahead
           recorded before any processing, with its fingerprint)
         * known path, same fingerprint -> no-op
-        * known path, CHANGED fingerprint (rewritten/rotated in place)
-          -> its batch is retired and the path re-ingested as new
-        * recorded path now missing -> its batch is retired; surviving
-          siblings of that batch are re-ingested as new
+        * known path, GROWN (head hash unchanged, size and row count
+          grew, old end on a row-group boundary) -> APPEND: only the
+          new rows are extracted and ingested as a new batch — N
+          appends process O(total) rows overall, never O(total^2)
+        * known path, otherwise-changed fingerprint (rewritten or
+          rotated in place) -> its claiming batches are retired and
+          the path re-ingested as new
+        * recorded path now missing -> its batches are retired;
+          surviving siblings are re-ingested as new
 
         Retirement is batch-grained: a batch groups the files of one
         discovery round (one Spark job per increment at scale — 10^5
         per-file batches would mean 10^5 tiny jobs). Closed log files
         are immutable in practice, so retirement is the rare path and
         reprocessing a retired batch's survivors is an acceptable
-        cost for exact retraction."""
-        state, max_seq = self.store.ingest_state(self.spark)
+        cost for exact retraction.
+
+        Driver memory: the per-(batch, file) map stays in Spark
+        (checkpoint.discovery_delta / pending_work); the driver holds
+        the current-input fingerprint dict (inherent to a driver-side
+        lister) plus O(changes) + O(batches) collected rows."""
         current = self._fingerprints(self._list_input_files())
-
-        for seq in sorted(state):
-            files = state[seq]
-            reason = None
-            adopted = []
-            for path, fp in files.items():
-                if path not in current:
-                    reason = f"removed:{path}"
-                    break
-                # fp None = store predates fingerprints (schema
-                # evolution): identity unknown — ADOPT the current
-                # fingerprint rather than treating the mismatch as a
-                # rotation, or a no-op upgrade would retire and
-                # reprocess every committed batch. The adopted value
-                # is recorded below so the NEXT rotation of the file
-                # is detected normally.
-                if fp is None:
-                    adopted.append(path)
-                    continue
-                if current[path] != fp:
-                    reason = f"rotated:{path}"
-                    break
-            if reason:
-                self._retire_batch(seq, reason)
-                del state[seq]
-            elif adopted:
-                self.store.record_ingest(
-                    seq, adopted, self.conf.run_id, fingerprints=current
-                )
-                for p_ in adopted:
-                    state[seq][p_] = current[p_]
-
-        known = {p for files in state.values() for p in files}
-        new_files = sorted(p for p in current if p not in known)
-        if new_files:
-            seq = max_seq + 1  # never reuse a retired batch's seq
-            self.store.record_ingest(
-                seq, new_files, self.conf.run_id, fingerprints=current
-            )
-            state[seq] = {p: current[p] for p in new_files}
-
-        work = []
-        for seq in sorted(state):
-            done = self.store.committed_units(self.spark, seq)
-            pending = [u for u in range(self.conf.n_units) if u not in done]
-            if pending:
-                work.append((seq, sorted(state[seq]), pending))
-        return work
+        # fixed point: a retirement can expose follow-up work within
+        # the same scan (a lost extract retires its append batch, and
+        # the original's new rows then re-append against the restored
+        # authoritative claim). Chains are 1-2 links; 4 is a guard.
+        for _ in range(4):
+            if not self._reconcile(current):
+                break
+        return self.store.pending_work(self.spark, self.conf.n_units)
 
     # ------------------------------------------------------------ stages
     def transform(self, seq: DataFrame) -> DataFrame:

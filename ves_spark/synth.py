@@ -182,6 +182,39 @@ def write_sequences_file(
     return path
 
 
+def grow_sequences_file(
+    path: str, n_rows: int, seed: int, start_row: int
+) -> str:
+    """Simulate an IN-PLACE APPEND to an existing sequences parquet
+    file (the reference tailer's growth vector: the same file, new
+    bytes at the end, prefix unchanged): rewrite ``path`` as its own
+    row groups re-encoded byte-identically (same arrays, same writer
+    settings, preserved row-group boundaries) followed by ``n_rows``
+    freshly synthesized rows. The data-page prefix of the grown file
+    equals the old file's, so discovery's head-hash append detection
+    sees a pure append — tests assert that property rather than
+    assuming it."""
+    pf = pq.ParquetFile(path)
+    tmp = f"{path}.grow-tmp"
+    writer = None
+    for rg in range(pf.metadata.num_row_groups):
+        t = pf.read_row_group(rg)
+        if writer is None:
+            writer = pq.ParquetWriter(tmp, t.schema)
+        writer.write_table(t, row_group_size=t.num_rows)
+    rng = np.random.default_rng(seed)
+    for start in range(0, n_rows, CHUNK_ROWS):
+        chunk = _sequences_chunk(
+            rng, start_row + start, min(CHUNK_ROWS, n_rows - start)
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(tmp, chunk.schema)
+        writer.write_table(chunk, row_group_size=16_384)
+    writer.close()
+    os.replace(tmp, path)
+    return path
+
+
 def append_sequences(
     fix_dir: str, n_rows: int, seed: int, start_row: int, name: str = "part-append"
 ) -> str:
