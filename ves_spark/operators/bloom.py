@@ -5,35 +5,49 @@ against all of history.
 The reference dedups by identity against its checkpoint store on
 every (re)scan (`src/watcher/discovery.rs:33-35,71-73`); this is the
 same admit-only-unseen semantic at corpus scale. The history side is
-scanned exactly TWICE — once to build a compact bloom bitmap
-(per-partition numpy bitmaps OR-reduced on the driver, a few hundred
-KB of metadata, like a broadcast join's build side), once streamed
+scanned exactly TWICE — once to build the bloom bitmap, once streamed
 map-side through the exact-verify join — plus one extra sizing
 ``count()`` pass only when the caller does not supply
 ``expected_keys`` (steady-state ingest knows last epoch's corpus
 count from its own checkpoint metrics and should pass it). Then:
 
 * the new batch is filtered map-side by bloom probes (an
-  Arrow-vectorized pandas UDF; candidates = true dups + the
-  false-positive fraction epsilon of the batch);
+  Arrow-vectorized pandas UDF over a ``SparkContext.broadcast`` of
+  the bitmap; candidates = true dups + the false-positive fraction
+  epsilon of the batch);
 * only that tiny candidate set is exactly verified against history,
   as an inner join with the CANDIDATES broadcast, so the verify pass
   streams the history scan map-side — no big-side shuffle anywhere;
 * kept = new anti-join the verified dup-id set (broadcast again).
 
-Output is EXACT: bloom false positives are eliminated by the verify
-join and false negatives are impossible, so the result equals a plain
-anti-join on content and a SQL oracle checks the whole approximate
-structure end-to-end. (Spark's own runtime bloom join —
-``spark.sql.optimizer.runtime.bloomFilter.enabled`` — injects the
-same shape automatically for selective equi-joins; this operator is
-the explicit, reusable-bitmap variant: the history bloom can be built
-once per ingest epoch and reused across many new batches, which the
-runtime filter cannot do.)
+Build shape (round-5 hardening — the previous build had every
+partition emit a DENSE m_bits-wide bitmap and the driver OR them,
+O(partitions x m_bits) collect volume, ~20 GB per partition row at
+the operator's own 10^10-key target):
+
+* probe positions are computed JVM-side (codegen arithmetic on the
+  xxhash64 column, exploded k-ways) — the shuffle carries 8 bytes per
+  (key, probe), with nothing Python-side before the aggregation;
+* positions shuffle to their BAND (a fixed ``band_bits``-wide bitmap
+  segment); one ``applyInPandas`` kernel per band builds that band's
+  segment, so no task ever holds more than band_bits/8 bytes;
+* the driver streams the (band, segment) rows via
+  ``toLocalIterator`` and places each segment into the final array.
+
+Driver memory formula (replaces the old "few hundred KB" claim):
+m_bits/8 bytes for the assembled bitmap + band_bits/8 for the
+in-flight segment; total collect volume is at most m_bits/8 + ~16
+bytes per nonzero band, INDEPENDENT of the input partition count.
+At the 10^10-key / 16-bits-per-key target that is one 20 GB driver
+array — the size of the filter itself, the floor for any
+driver-assembled bloom; beyond that, size the probe side down
+(bits_per_key) or shard the filter by key range upstream.
 
 Probes use Kirsch-Mitzenmacher double hashing off one JVM-side
 xxhash64: position_i = (h_lo + i * (h_hi | 1)) mod m — build and
-probe derive identical positions from the same 64-bit key hash.
+probe derive identical positions from the same 64-bit key hash
+(the JVM-side build arithmetic never exceeds 2^35, so signed-long
+SQL math and the probe's uint64 numpy math agree bit-for-bit).
 """
 
 from __future__ import annotations
@@ -41,9 +55,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+# 2^22 bits = 512 KiB per band segment: big enough that a 16M-bit toy
+# filter is a handful of rows, small enough that a band's positions +
+# segment stay far under task memory at any scale.
+DEFAULT_BAND_BITS = 1 << 22
 
 
 def _positions(h64: np.ndarray, i: int, m_bits: int) -> np.ndarray:
@@ -54,50 +73,96 @@ def _positions(h64: np.ndarray, i: int, m_bits: int) -> np.ndarray:
     return (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
 
 
-def build_bloom_bitmap(
-    hashes: DataFrame, m_bits: int, n_hashes: int, h_col: str = "h"
-) -> np.ndarray:
-    """Distributed bloom build: each partition sets its keys' bits in
-    a local numpy bitmap (one ``mapInPandas`` pass, one m_bits/8-byte
-    row per partition), the driver ORs the partials. m_bits must be a
-    multiple of 64."""
+def bloom_segments(
+    hashes: DataFrame,
+    m_bits: int,
+    n_hashes: int,
+    h_col: str = "h",
+    band_bits: int = DEFAULT_BAND_BITS,
+) -> DataFrame:
+    """(band:long, seg:binary) rows — the bitmap cut into fixed
+    ``band_bits``-wide segments, one row per band that holds at least
+    one set bit. Positions are computed JVM-side and shuffled BY BAND,
+    so the row count is bounded by ceil(m_bits/band_bits) no matter
+    how many partitions the input has (the round-5 weak finding)."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     m_words = m_bits // 64
+    band_words = min(band_bits // 64, m_words)
+    band_sz = band_words * 64
 
-    def part(batches):
-        bm = np.zeros(m_words, dtype=np.uint64)
-        got = False
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            got = True
-            h = pdf[h_col].to_numpy(dtype=np.int64).view(np.uint64)
-            for i in range(n_hashes):
-                pos = _positions(h, i, m_bits)
-                w = (pos >> np.uint64(6)).astype(np.int64)
-                b = pos & np.uint64(63)
-                np.bitwise_or.at(bm, w, np.uint64(1) << b)
-        if got:
-            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+    h = F.col(h_col)
+    h1 = h.bitwiseAND(F.lit(0xFFFFFFFF))
+    h2 = F.shiftrightunsigned(h, 32).bitwiseOR(F.lit(1))
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("pos")
+    bands = hashes.select(pos).select(
+        (F.col("pos") / F.lit(band_sz)).cast("long").alias("band"), "pos"
+    )
 
+    def seg_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(pdf["band"].iloc[0])
+        words = min(band_words, m_words - band * band_words)
+        local = pdf["pos"].to_numpy(dtype=np.int64) - band * band_sz
+        bm = np.zeros(words, dtype=np.uint64)
+        w = (local >> 6).astype(np.int64)
+        b = (local & 63).astype(np.uint64)
+        np.bitwise_or.at(bm, w, np.uint64(1) << b)
+        return pd.DataFrame({"band": [band], "seg": [bm.tobytes()]})
+
+    return bands.groupBy("band").applyInPandas(
+        seg_kernel, "band long, seg binary"
+    )
+
+
+def build_bloom_bitmap(
+    hashes: DataFrame,
+    m_bits: int,
+    n_hashes: int,
+    h_col: str = "h",
+    band_bits: int = DEFAULT_BAND_BITS,
+) -> np.ndarray:
+    """Distributed bloom build: banded segments (see
+    :func:`bloom_segments`) streamed to the driver one at a time via
+    ``toLocalIterator`` and placed into the final m_bits/8-byte array.
+    Peak driver memory = bitmap + one segment."""
+    m_words = m_bits // 64
+    band_words = min(band_bits // 64, m_words)
     out = np.zeros(m_words, dtype=np.uint64)
-    for row in hashes.mapInPandas(part, "bitmap binary").collect():
-        out |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    segs = bloom_segments(hashes, m_bits, n_hashes, h_col, band_bits)
+    for row in segs.toLocalIterator():
+        band = int(row["band"])
+        seg = np.frombuffer(row["seg"], dtype=np.uint64)
+        out[band * band_words : band * band_words + len(seg)] = seg
     return out
 
 
-def _might_contain_udf(bloom: np.ndarray, m_bits: int, n_hashes: int):
-    """Arrow-vectorized membership probe; the bitmap ships to
-    executors inside the serialized UDF closure (broadcast-sized)."""
+def _might_contain_udf(
+    bloom: np.ndarray, m_bits: int, n_hashes: int, spark: SparkSession | None = None
+):
+    """Arrow-vectorized membership probe. The bitmap moves once per
+    executor as a ``SparkContext.broadcast`` — never inside the
+    per-task serialized closure (round-5 finding: a closure-shipped
+    bitmap re-serializes with every task)."""
+    sess = spark or SparkSession.getActiveSession()
+    bc = sess.sparkContext.broadcast(bloom)
 
     @pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:
+        bm = bc.value
         hv = h.to_numpy(dtype=np.int64).view(np.uint64)
         res = np.ones(len(hv), dtype=bool)
         for i in range(n_hashes):
             pos = _positions(hv, i, m_bits)
             w = (pos >> np.uint64(6)).astype(np.int64)
             b = pos & np.uint64(63)
-            res &= ((bloom[w] >> b) & np.uint64(1)).astype(bool)
+            res &= ((bm[w] >> b) & np.uint64(1)).astype(bool)
         return pd.Series(res)
 
     return probe
@@ -132,7 +197,7 @@ def dedup_against_history(
     n = expected_keys if expected_keys is not None else h_hist.count()
     m_bits = 1 << max(14, int(max(n, 1) * bits_per_key - 1).bit_length())
     bloom = build_bloom_bitmap(h_hist, m_bits, n_hashes)
-    probe = _might_contain_udf(bloom, m_bits, n_hashes)
+    probe = _might_contain_udf(bloom, m_bits, n_hashes, spark=new_df.sparkSession)
 
     withh = new_df.withColumn("_h", F.xxhash64(F.col(text_col)))
     cand = withh.filter(probe(F.col("_h"))).select(
