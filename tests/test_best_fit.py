@@ -1,4 +1,4 @@
-"""First-fit-decreasing no-split packing (packing.py::pack_best_fit):
+"""First-fit-decreasing no-split packing (packing.py::pack_first_fit_decreasing):
 bit-exact vs a scalar FFD reference, capacity/exactly-once
 invariants, the 11/9 OPT bound, partitioning invariance, and the
 oversize-doc refusal."""
@@ -11,7 +11,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from ves_spark.operators.packing import pack_best_fit, packing_stats
+from ves_spark.operators.packing import pack_first_fit_decreasing, packing_stats
 
 CAP = 100
 
@@ -46,7 +46,7 @@ def test_matches_scalar_ffd_reference(spark):
     df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
     got = {
         (r["source"], r["doc_id"]): r["bin_id"]
-        for r in pack_best_fit(df, CAP).collect()
+        for r in pack_first_fit_decreasing(df, CAP).collect()
     }
     for stream in ("s1", "s2"):
         ref = _ffd_ref([(d, s) for src, d, s in rows if src == stream], CAP)
@@ -57,7 +57,7 @@ def test_matches_scalar_ffd_reference(spark):
 def test_invariants_and_opt_bound(spark):
     rows = _docs(seed=11, n=500, streams=("a",))
     df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
-    packed = pack_best_fit(df, CAP).collect()
+    packed = pack_first_fit_decreasing(df, CAP).collect()
     # exactly-once
     assert sorted(r["doc_id"] for r in packed) == sorted(r[1] for r in rows)
     # no bin over capacity
@@ -72,7 +72,7 @@ def test_invariants_and_opt_bound(spark):
     assert n_bins <= (11 * opt_lb) // 9 + 1
 
     stats = packing_stats(
-        pack_best_fit(df, CAP), CAP
+        pack_first_fit_decreasing(df, CAP), CAP
     ).collect()[0]
     assert stats["n_bins"] == n_bins
     assert stats["fill"] == pytest.approx(
@@ -84,12 +84,12 @@ def test_partitioning_invariant_and_numeric_stream_cols(spark):
     rows = [(i % 7, f"d{i:03d}", 10 + i % 90) for i in range(200)]
     df = spark.createDataFrame(rows, "shard long, doc_id string, n_tok int")
     a = sorted(
-        map(tuple, pack_best_fit(df, CAP, stream_cols=["shard"]).collect())
+        map(tuple, pack_first_fit_decreasing(df, CAP, stream_cols=["shard"]).collect())
     )
     b = sorted(
         map(
             tuple,
-            pack_best_fit(
+            pack_first_fit_decreasing(
                 df.repartition(13), CAP, stream_cols=["shard"]
             ).collect(),
         )
@@ -104,6 +104,6 @@ def test_oversize_doc_raises(spark):
         "source string, doc_id string, n_tok int",
     )
     with pytest.raises(Exception, match="too_big"):
-        pack_best_fit(df, CAP).collect()
+        pack_first_fit_decreasing(df, CAP).collect()
     with pytest.raises(ValueError, match="capacity"):
-        pack_best_fit(df, 0)
+        pack_first_fit_decreasing(df, 0)

@@ -68,39 +68,105 @@ def _chunk_cols(df: DataFrame, capacity: int) -> DataFrame:
     )
 
 
+def _block_boundaries(
+    df: DataFrame, order_col: str, n_blocks: int, per_part: int = 32
+) -> list:
+    """Sampled cut points over ``order_col`` — our own range-
+    partitioner boundary pass (one narrow single-column scan, the
+    same extra pass Spark's RangePartitioner makes). Evenly-spaced
+    rows are taken from each partition's first Arrow batches (capped
+    at ``per_part`` per partition, so the collect is
+    O(partitions x per_part) values — metadata scale at any input
+    size), then ``n_blocks - 1`` evenly-spaced cut points are drawn
+    from the sorted sample. ANY order-preserving cut yields the same
+    prefix sums, so sample quality only affects balance, never
+    values."""
+
+    def kern(batches):
+        import numpy as np
+
+        seen = 0
+        for pdf in batches:
+            if seen >= per_part or not len(pdf):
+                continue
+            take = min(per_part - seen, len(pdf))
+            seen += take
+            idx = np.linspace(0, len(pdf) - 1, num=take, dtype=int)
+            yield pdf.iloc[idx][[order_col]]
+
+    field = df.select(order_col).schema[0]
+    samp = [
+        r[0]
+        for r in df.select(order_col)
+        .mapInPandas(kern, f"`{order_col}` {field.dataType.simpleString()}")
+        .collect()
+        if r[0] is not None
+    ]
+    samp.sort()
+    if len(samp) < 2 or n_blocks < 2:
+        return []
+    cuts = {
+        samp[(i * len(samp)) // n_blocks] for i in range(1, n_blocks)
+    }
+    return sorted(
+        c.item() if hasattr(c, "item") else c for c in cuts
+    )
+
+
 def sharded_prefix_sum(
     df: DataFrame,
     size_col: Column,
     part_col: str = "source",
     order_col: str = "doc_id",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact exclusive prefix sum of ``size_col`` within ``part_col``
     ordered by ``order_col`` — WITHOUT a single per-stream window.
 
     Classic two-pass scan, Spark-shaped:
 
-    1. ``repartitionByRange(part_col, order_col)`` + in-partition sort:
-       a distributed sort whose partition boundaries respect the
-       global order, so ``spark_partition_id()`` is an ordered block
-       id (boundary placement varies with sampling, but ANY order-
-       preserving cut yields the same prefix sums — the result is
-       placement-independent).
-    2. local exclusive prefix per (part_col, block) — each window
-       partition is one Spark-partition-sized, so the hot stream's
-       scan runs on every core instead of one task.
-    3. per-(part_col, block) totals are a metadata-sized frame; their
+    1. ``_blk`` = how many sampled global cut points precede this
+       row's ``order_col`` — a PURE COLUMN EXPRESSION over literal
+       boundaries (one ``aggregate`` over a literal array, whole-
+       stage codegen). Monotone in ``order_col``, so the cut is
+       order-preserving within every stream; boundary placement only
+       affects balance, never the sums.
+    2. local exclusive prefix per (part_col, _blk) — the window's own
+       hash shuffle spreads the hot stream's blocks across all cores
+       instead of one task.
+    3. per-(part_col, _blk) totals are a metadata-sized frame; their
        exclusive running sum per part_col is each block's offset,
        broadcast-joined back. tok_start = block offset + local prefix.
+
+    The block id must NOT come from ``spark_partition_id()`` after a
+    ``repartitionByRange`` (the pre-round-6 shape): the exchange is
+    consumed by BOTH the window branch and the totals branch, and AQE
+    may plan a different coalesced shuffle-read for each consumer —
+    the two branches then disagree on the id and the equi-join
+    silently DROPS every row whose block id exists on one side only.
+    A data-derived ``_blk`` is identical in every branch of every
+    plan by construction.
 
     Adds: ``n_size`` (cast of size_col), ``tok_start``, and ``_blk``
     (the block id, exposed so tests/plans can see the per-block window
     partitioning)."""
     sized = df.withColumn("n_size", size_col.cast("long"))
-    blocked = (
-        sized.repartitionByRange(F.col(part_col), F.col(order_col))
-        .sortWithinPartitions(part_col, order_col)
-        .withColumn("_blk", F.spark_partition_id())
-    )
+    if n_blocks is None:
+        n_blocks = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    bounds = _block_boundaries(sized, order_col, n_blocks)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        blk = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col) >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        blk = F.lit(0)
+    blocked = sized.withColumn("_blk", blk.cast("long"))
     local_w = (
         W.partitionBy(part_col, "_blk")
         .orderBy(order_col)
@@ -183,7 +249,7 @@ def deterministic_shuffle(
     )
 
 
-def pack_best_fit(
+def pack_first_fit_decreasing(
     df: DataFrame,
     capacity: int,
     stream_cols: list[str] | None = None,
@@ -262,13 +328,20 @@ def pack_best_fit(
     )
 
 
+# short alias; the pre-round-6 name `pack_best_fit` was a misnomer
+# (the kernel is first-fit-decreasing, not best-fit) and was renamed
+# while the API is new (ADVICE r5)
+pack_ffd = pack_first_fit_decreasing
+
+
 def packing_stats(
     packed: DataFrame,
     capacity: int,
     stream_cols: list[str] | None = None,
     size_col: str = "n_tok",
 ) -> DataFrame:
-    """Per-stream fill accounting for a :func:`pack_best_fit` result:
+    """Per-stream fill accounting for a
+    :func:`pack_first_fit_decreasing` result:
     n_bins, n_docs, token total, and fill = tokens / (n_bins * C)."""
     streams = list(stream_cols) if stream_cols else ["source"]
     return packed.groupBy(*streams).agg(
