@@ -10,6 +10,21 @@
 On a cluster, master/executor settings come from spark-submit; this
 module only supplies SQL confs (see session.get_spark). Locally it
 falls back to local[$SPARK_GRAFT_CPUS].
+
+Post-run product legs (each runs after the initial pass AND after
+every --watch-interval rescan that processed new units, so watch mode
+never serves stale tables):
+
+* --alerts   : trailing-baseline spike/drop detector over the
+               finalized rollup -> <out>/alerts
+* --drift    : PSI of the newest ingest batch's routed distribution
+               vs all prior batches' -> <out>/drift (the reference's
+               per-source marginals across snapshots,
+               src/tailer/manager.rs:21-29, compared between epochs)
+* --assemble : dataset assembly over the routed table — deterministic
+               shuffle -> sequence packing -> train/val/test split ->
+               <out>/assembly/<split> (the declared-but-absent
+               normalization/export stage, src/tailer/manager.rs:28-29)
 """
 
 from __future__ import annotations
@@ -20,6 +35,147 @@ import uuid
 
 from ves_spark.pipeline import Pipeline, PipelineConfig
 from ves_spark.session import get_spark
+
+
+def _write_alerts(pipe: Pipeline, args) -> dict:
+    from ves_spark.operators.anomaly import detect_rate_spikes
+    from ves_spark.parse import TIME_BUCKET_MINUTES
+
+    scored = detect_rate_spikes(
+        pipe.finalize_rollup(),
+        ["sink", "source"],
+        time_col="time_bucket",
+        value_col="cnt",
+        lookback=args.alert_lookback,
+        bucket_width=TIME_BUCKET_MINUTES * 60,
+        fill_gaps=True,
+    )
+    flagged = scored.filter("is_spike OR is_drop")
+    flagged.write.mode("overwrite").parquet(f"{args.out}/alerts")
+    return {"alerts": flagged.count()}
+
+
+def _write_drift(spark, pipe: Pipeline, args) -> dict:
+    """PSI of the NEWEST batch's routed distribution against every
+    prior batch's (numeric: n_tok; categorical: source, sink). The
+    yardstick side is the accumulated history, so a drifted new epoch
+    cannot re-normalize itself. First epoch (nothing to compare
+    against) is an explicit skip, not an empty table."""
+    from pyspark.sql import functions as F
+
+    from ves_spark.operators.drift import population_stability
+
+    routed = pipe.routed()
+    mx = routed.agg(F.max("batch_seq")).first()[0]
+    if mx is None:
+        return {"drift": "skipped", "reason": "no routed data"}
+    ref = routed.filter(F.col("batch_seq") < mx)
+    if ref.isEmpty():
+        return {"drift": "skipped", "reason": "first epoch, no baseline"}
+    cur = routed.filter(F.col("batch_seq") == mx)
+    psi = population_stability(
+        ref, cur, numeric_cols=["n_tok"], categorical_cols=["source", "sink"]
+    )
+    rows = [
+        (c, float(v), bool(v >= args.drift_threshold))
+        for c, v in sorted(psi.items())
+    ]
+    spark.createDataFrame(
+        rows, "feature string, psi double, flagged boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{args.out}/drift")
+    return {
+        "drift_epoch": int(mx),
+        "drift_flagged": sum(1 for r in rows if r[2]),
+        "drift_features": len(rows),
+    }
+
+
+def _write_assembly(spark, pipe: Pipeline, args) -> dict:
+    """shuffle -> pack -> split over the routed table, written as
+    sized outputs to <out>/assembly/<split>.
+
+    * docs are deduped to one row per doc_id first (routing fans a doc
+      to 0..k sinks; training assembly wants each doc once) — the
+      per-doc columns are identical across its sink copies, so the
+      dedup is deterministic;
+    * the split is a hash of doc_id (ppm grid), so a doc can never
+      leak across train/val/test regardless of sink fan-out or reruns;
+    * within each split, order = deterministic_shuffle (seeded hash,
+      range-partitioned — no single-partition sort) and packing =
+      pack_chunks_sharded (exact prefix sums via the decomposed scan,
+      size-capped shards), or first-fit-decreasing whole-doc bins per
+      shard with --assemble-pack ffd;
+    * --target-file-bytes (the run's existing knob) caps assembly
+      files too, via the same once-per-leg bytes/row probe.
+    """
+    from pyspark.sql import functions as F
+
+    from ves_spark.operators.packing import (
+        deterministic_shuffle,
+        pack_chunks_sharded,
+        pack_first_fit_decreasing,
+    )
+
+    docs = (
+        pipe.routed()
+        .select("doc_id", "tokens", "n_tok", "source")
+        .dropDuplicates(["doc_id"])
+    )
+    seed = args.assemble_seed
+    ppm = F.pmod(
+        F.xxhash64(F.lit(int(seed)), F.lit("split"), F.col("doc_id")),
+        F.lit(1_000_000),
+    )
+    test_ppm = int(args.assemble_test_pct * 10_000)
+    val_ppm = int(args.assemble_val_pct * 10_000)
+    tagged = docs.withColumn(
+        "_split",
+        F.when(ppm < test_ppm, "test")
+        .when(ppm < test_ppm + val_ppm, "val")
+        .otherwise("train"),
+    )
+    stats: dict = {"assembly_capacity": args.assemble_capacity}
+    for name in ("train", "val", "test"):
+        part = tagged.filter(F.col("_split") == name).drop("_split")
+        shuf = deterministic_shuffle(part, seed, key_col="doc_id")
+        packed = pack_chunks_sharded(
+            shuf.withColumn("_stream", F.lit(name)),
+            args.assemble_capacity,
+            F.col("n_tok"),
+            shard_budget=args.assemble_shard_budget,
+            part_col="_stream",
+            order_col="shuffle_order",
+        ).drop("_stream", "n_size")
+        if args.assemble_pack == "ffd":
+            bins = pack_first_fit_decreasing(
+                packed.withColumn("_stream", F.lit(name)),
+                args.assemble_capacity,
+                stream_cols=["_stream", "shard"],
+            ).select("shard", "doc_id", "bin_id")
+            packed = packed.drop("shard").join(bins, "doc_id")
+        opts = {}
+        if args.target_file_bytes > 0:
+            from ves_spark.sources.sizing import estimate_row_bytes
+
+            bpr = estimate_row_bytes(packed)
+            opts["maxRecordsPerFile"] = max(
+                1, int(args.target_file_bytes / max(bpr, 1e-9))
+            )
+        writer = packed.write.mode("overwrite")
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+        writer.parquet(f"{args.out}/assembly/{name}")
+        stats[f"assembly_{name}_docs"] = packed.count()
+    return stats
+
+
+def _post_run(spark, pipe: Pipeline, args) -> None:
+    if args.alerts:
+        print(json.dumps(_write_alerts(pipe, args)))
+    if args.drift:
+        print(json.dumps(_write_drift(spark, pipe, args)))
+    if args.assemble:
+        print(json.dumps(_write_assembly(spark, pipe, args)))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -86,9 +242,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument(
         "--alerts",
         action="store_true",
-        help="after the run, score the finalized rollup with the "
-        "trailing-baseline spike/drop detector (gap-filled) and write "
-        "the flagged buckets to <out>/alerts",
+        help="after each run that processed units, score the finalized "
+        "rollup with the trailing-baseline spike/drop detector "
+        "(gap-filled) and write the flagged buckets to <out>/alerts",
     )
     p.add_argument(
         "--alert-lookback",
@@ -96,6 +252,52 @@ def main(argv: list[str] | None = None) -> None:
         default=12,
         help="trailing baseline length in buckets for --alerts",
     )
+    p.add_argument(
+        "--drift",
+        action="store_true",
+        help="after each run that processed units, PSI-score the newest "
+        "batch's routed distribution (n_tok, source, sink) against all "
+        "prior batches' and write per-feature psi + flagged to "
+        "<out>/drift; skipped on the first epoch",
+    )
+    p.add_argument(
+        "--drift-threshold",
+        type=float,
+        default=0.25,
+        help="PSI at or above this flags the feature (0.25 = the "
+        "conventional major-shift threshold; 0.1 = moderate)",
+    )
+    p.add_argument(
+        "--assemble",
+        action="store_true",
+        help="after each run that processed units, assemble the routed "
+        "docs into training data: deterministic shuffle -> sequence "
+        "packing -> doc-hash train/val/test split, written to "
+        "<out>/assembly/<split>",
+    )
+    p.add_argument("--assemble-seed", type=int, default=0)
+    p.add_argument(
+        "--assemble-capacity",
+        type=int,
+        default=2048,
+        help="tokens per training chunk (chunks mode) or per bin (ffd)",
+    )
+    p.add_argument(
+        "--assemble-pack",
+        choices=["chunks", "ffd"],
+        default="chunks",
+        help="chunks = GPT-style concat-and-slice (docs may span a "
+        "boundary); ffd = whole-doc first-fit-decreasing bins per shard",
+    )
+    p.add_argument(
+        "--assemble-shard-budget",
+        type=int,
+        default=1 << 27,
+        help="max tokens of start positions per (split, shard) stream — "
+        "bounds every per-stream kernel regardless of corpus skew",
+    )
+    p.add_argument("--assemble-val-pct", type=float, default=1.0)
+    p.add_argument("--assemble-test-pct", type=float, default=1.0)
     args = p.parse_args(argv)
 
     # get_spark is getOrCreate: when a caller (tests, a notebook)
@@ -125,26 +327,13 @@ def main(argv: list[str] | None = None) -> None:
     pipe = Pipeline(spark, conf)
     stats = pipe.run()
     print(json.dumps(stats))
-    if args.alerts:
-        from ves_spark.operators.anomaly import detect_rate_spikes
-        from ves_spark.parse import TIME_BUCKET_MINUTES
-
-        scored = detect_rate_spikes(
-            pipe.finalize_rollup(),
-            ["sink", "source"],
-            time_col="time_bucket",
-            value_col="cnt",
-            lookback=args.alert_lookback,
-            bucket_width=TIME_BUCKET_MINUTES * 60,
-            fill_gaps=True,
-        )
-        flagged = scored.filter("is_spike OR is_drop")
-        flagged.write.mode("overwrite").parquet(f"{args.out}/alerts")
-        print(json.dumps({"alerts": flagged.count()}))
+    _post_run(spark, pipe, args)
     if args.watch_interval > 0:
         # the reference's rescan loop (discovery.rs:56-87): discover()
         # assigns any newly appeared files to a fresh ingest batch and
-        # run() processes exactly that
+        # run() processes exactly that; product legs re-run after any
+        # pass that processed units so <out>/alerts|drift|assembly
+        # never go stale (ADVICE r5)
         import time as _time
 
         while True:
@@ -152,6 +341,7 @@ def main(argv: list[str] | None = None) -> None:
             stats = pipe.run()
             if stats["units_processed"]:
                 print(json.dumps(stats))
+                _post_run(spark, pipe, args)
     if owns_session:
         spark.stop()
 
