@@ -137,7 +137,9 @@ def test_rate_spikes_rollup_both_flags_nonvacuous(spark):
 
     df = entry_mod.queries()["rate_spikes_rollup"](spark, SF_DIR)
     assert df.count() > 0
-    assert df.filter("cnt = 0").count() >= 0  # fill path reachable
+    # gap-filled zero buckets must actually exist at sf0.01 — `>= 0`
+    # here was vacuously true (ADVICE r5)
+    assert df.filter("cnt = 0").count() > 0
     assert df.filter("base_n >= 3").count() > 0
 
 

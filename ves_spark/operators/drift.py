@@ -35,10 +35,11 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 OTHER = "__other__"
+NULL_BUCKET = "__null__"
 
 
 def _shares_categorical(
@@ -86,6 +87,59 @@ def _psi(p: dict, q: dict, eps: float) -> float:
         qi = max(q.get(k, 0.0), eps)
         out += (pi - qi) * math.log(pi / qi)
     return out
+
+
+def psi_table(
+    df: DataFrame,
+    is_cur: Column,
+    buckets: dict[str, Column],
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-feature PSI as a single declarative plan: one ``(feature,
+    psi)`` row per entry in ``buckets``, comparing the rows where
+    ``is_cur`` is false (the reference epoch) against those where it
+    is true (the monitored epoch).
+
+    The fully-DataFrame sibling of :func:`population_stability` (which
+    returns a driver dict and derives numeric edges from
+    ``approxQuantile``): here the caller supplies every bucketization
+    as an explicit Column expression, so the whole computation — and
+    therefore its oracle — is deterministic and engine-replayable,
+    which is what the driver's DuckDB hash-compare needs.
+
+    Scale shape: one map-only projection per feature rides the scan
+    (``buckets`` unioned legs), then ONE groupBy whose output is
+    bins-sized per feature. The share normalization is a window over
+    ``feature`` — it runs on the aggregated, metadata-scale frame
+    (≤ categories+1 rows per feature), never on the corpus. NULL
+    bucket values fold into ``__null__`` so both engines agree on the
+    domain."""
+    legs = [
+        df.select(
+            F.lit(name).alias("feature"),
+            F.coalesce(expr.cast("string"), F.lit(NULL_BUCKET)).alias(
+                "bucket"
+            ),
+            is_cur.cast("boolean").alias("_cur"),
+        )
+        for name, expr in buckets.items()
+    ]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    h = u.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("_cur"), 0).otherwise(1)).alias("cp"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("cq"),
+    )
+    w = Window.partitionBy("feature")
+    t = h.select(
+        "feature",
+        F.greatest(F.col("cp") / F.sum("cp").over(w), F.lit(eps)).alias("p"),
+        F.greatest(F.col("cq") / F.sum("cq").over(w), F.lit(eps)).alias("q"),
+    )
+    psi = F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    return t.groupBy("feature").agg(F.round(psi, round_to).alias("psi"))
 
 
 def population_stability(

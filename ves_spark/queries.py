@@ -731,7 +731,7 @@ def pivot_event_counts(spark, sf_dir):
     SELECT 'outlier' AS scope, o_orderkey,
            NULL, NULL, NULL, NULL, NULL,
            NULL, NULL,
-           CAST(round(o_totalprice, 2) AS VARCHAR) AS tag
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS tag
     FROM orders
     WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders)
     """,
@@ -742,7 +742,11 @@ def scalar_functions(spark, sf_dir):
     scope='outlier' the correlated-free scalar subquery (threshold
     avg*1.2 — the synth price distribution is bounded, so *2 selects
     nothing and the check would be vacuous; price rides the shared
-    `tag` column as a string)."""
+    `tag` column as a string). The price is rendered via an explicit
+    DECIMAL(18,2) cast on BOTH engines: default double->string is
+    engine-defined (Java switches to scientific notation at 1e7,
+    DuckDB does not), so the old round()+CAST formulation was
+    data-scale-dependent."""
     o = load(spark, sf_dir, "orders")
     scalar = o.filter(F.col("o_orderkey") % 10 == 0).select(
         F.lit("scalar").alias("scope"),
@@ -767,7 +771,7 @@ def scalar_functions(spark, sf_dir):
                CAST(NULL AS INT) AS mo,
                CAST(NULL AS DOUBLE) AS dist_100k,
                CAST(NULL AS DOUBLE) AS sqrt_price,
-               CAST(round(o_totalprice, 2) AS STRING) AS tag
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS tag
         FROM orders_v
         WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.2 FROM orders_v)
         """
@@ -1384,47 +1388,6 @@ def ann_lsh_topk_q(spark, sf_dir):
 @register(
     "token_count_docs",
     """
-    SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
-           list_reduce(
-             list_prepend(0::BIGINT,
-               list_transform(string_split_regex(trim(text), '\\s+'),
-                              w -> (length(w) * 131 + ascii(w)) % 1000000007)),
-             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-    FROM documents
-    """,
-)
-def token_count_docs(spark, sf_dir):
-    """Token counting AND the rolling-hash document fingerprint in one
-    driver check (registry fold #6 — both are map-only per-doc text
-    projections riding the same scan; every column keeps its operator:
-    ws/bpe_tokens from token counting, fp from fingerprinting). The fp
-    word hash ((len*131 + ascii(first)) mod M) is the cross-engine
-    variant; production (operators/text.py) uses xxhash64 words."""
-    d = load(spark, sf_dir, "documents")
-    from ves_spark.operators.text import bpe_token_count, ws_token_count
-
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    vals = F.transform(
-        words, lambda w: (F.length(w) * 131 + F.ascii(w)) % 1000000007
-    )
-    fp = F.aggregate(
-        vals,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % 1000000007,
-    )
-    return d.select(
-        "doc_id",
-        ws_token_count(F.col("text")).alias("ws_tokens"),
-        bpe_token_count(F.col("text")).alias("bpe_tokens"),
-        fp.alias("fp"),
-    )
-
-
-@register(
-    "repetition_ratio_docs",
-    """
     WITH words AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
     ), pos AS (
@@ -1436,6 +1399,13 @@ def token_count_docs(spark, sf_dir):
       FROM g GROUP BY doc_id
     )
     SELECT d.doc_id,
+           len(string_split_regex(trim(d.text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split_regex(trim(d.text), '\\s+'),
+                              w -> (length(w) * 131 + ascii(w)) % 1000000007)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
            coalesce(c.n_ngrams, 0) AS n_ngrams,
            coalesce(c.n_distinct, 0) AS n_distinct,
            round(CASE WHEN coalesce(c.n_ngrams, 0) > 0
@@ -1443,15 +1413,100 @@ def token_count_docs(spark, sf_dir):
     FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
     """,
 )
-def repetition_ratio_docs(spark, sf_dir):
-    """Gopher-style repeated-n-gram fraction per doc (training-data
-    quality axis). Map-only: split/transform/array_distinct inside one
-    codegen stage — zero shuffle, rides the scan at 100 TB."""
-    from ves_spark.operators.text import repetition_features
+def token_count_docs(spark, sf_dir):
+    """Token counting, the rolling-hash document fingerprint, AND the
+    Gopher-style repeated-trigram ratio in one driver check (registry
+    folds #6 and #8 — all are map-only per-doc text projections riding
+    the same scan; every column keeps its operator: ws/bpe_tokens from
+    token counting, fp from fingerprinting, n_ngrams/n_distinct/
+    rep_ratio from operators/text.py::repetition_features). The fp
+    word hash ((len*131 + ascii(first)) mod M) is the cross-engine
+    variant; production (operators/text.py) uses xxhash64 words."""
+    from ves_spark.operators.text import (
+        bpe_token_count,
+        repetition_features,
+        ws_token_count,
+    )
 
     d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    vals = F.transform(
+        words, lambda w: (F.length(w) * 131 + F.ascii(w)) % 1000000007
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
     return repetition_features(d, "text", n=3).select(
-        "doc_id", "n_ngrams", "n_distinct", "rep_ratio"
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        fp.alias("fp"),
+        "n_ngrams",
+        "n_distinct",
+        "rep_ratio",
+    )
+
+
+@register(
+    "psi_drift_docs",
+    """
+    WITH b AS (
+      SELECT 'lang' AS feature, coalesce(lang, '__null__') AS bucket,
+             doc_id % 4 = 0 AS is_cur FROM documents
+      UNION ALL
+      SELECT 'source', coalesce(source, '__null__'), doc_id % 4 = 0 FROM documents
+      UNION ALL
+      SELECT 'n_chars',
+             CAST(CASE WHEN n_chars <= 150 THEN 0 WHEN n_chars <= 250 THEN 1
+                       WHEN n_chars <= 350 THEN 2 WHEN n_chars <= 450 THEN 3
+                       ELSE 4 END AS VARCHAR),
+             doc_id % 4 = 0 FROM documents
+    ), h AS (
+      SELECT feature, bucket,
+             CAST(sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS cq
+      FROM b GROUP BY feature, bucket
+    ), t AS (
+      SELECT feature,
+             greatest(cp * 1.0 / sum(cp) OVER (PARTITION BY feature), 1e-6) AS p,
+             greatest(cq * 1.0 / sum(cq) OVER (PARTITION BY feature), 1e-6) AS q
+      FROM h
+    )
+    SELECT feature, round(sum((p - q) * ln(p / q)), 6) AS psi
+    FROM t GROUP BY feature
+    """,
+)
+def psi_drift_docs(spark, sf_dir):
+    """Corpus-drift PSI per feature (operators/drift.py::psi_table —
+    the DataFrame sibling of population_stability, registered per
+    round-5 ask #6). Epoch split is deterministic (doc_id % 4: three
+    quarters reference, one quarter monitored); numeric n_chars uses
+    explicit literal edges so both engines bucketize identically.
+    Reference basis: the per-source marginals the reference exports
+    across snapshots (src/tailer/manager.rs:21-29) compared between
+    epochs. Scale: map-only bucketize legs ride the scan; everything
+    after the first groupBy is bins-sized."""
+    from ves_spark.operators.drift import psi_table
+
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.col("n_chars")
+    bucket = (
+        F.when(n_chars <= 150, 0)
+        .when(n_chars <= 250, 1)
+        .when(n_chars <= 350, 2)
+        .when(n_chars <= 450, 3)
+        .otherwise(4)
+    )
+    return psi_table(
+        d,
+        F.col("doc_id") % 4 == 0,
+        {
+            "lang": F.col("lang"),
+            "source": F.col("source"),
+            "n_chars": bucket,
+        },
     )
 
 
