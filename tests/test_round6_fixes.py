@@ -207,3 +207,66 @@ def test_bloom_build_rejects_unaligned_m_bits(spark):
     df = spark.range(0, 10).select(F.xxhash64("id").alias("h"))
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_segments(df, 100, 3)
+
+
+# =====================================================================
+# Spark-side discovery state (ask #5): driver materialization bound
+# =====================================================================
+
+
+def test_steady_state_discovery_collects_o_batches_not_o_files(
+    spark, tmp_path, monkeypatch
+):
+    """A fully-committed store with many (batch, file) claims: a
+    steady-state rescan must collect O(batches) rows on the driver —
+    zero delta rows from discovery_delta and one count row per batch
+    from pending_work — never the per-file map (the round-5 driver-
+    memory finding). Asserted by counting every row any .collect()
+    during discovery actually returns."""
+    from pyspark.sql import DataFrame
+
+    from ves_spark.checkpoint import LineageStore
+
+    n_batches, files_per_batch, n_units = 12, 400, 4
+    store = LineageStore(str(tmp_path / "lineage"))
+    current = {}
+    for seq in range(n_batches):
+        files = [f"/in/b{seq:02d}/f-{i:04d}.parquet" for i in range(files_per_batch)]
+        fps = {p: f"100:aa:bb:10" for p in files}
+        current.update(fps)
+        store.record_ingest(seq, files, "run-x", fingerprints=fps)
+        store.append(
+            [
+                {
+                    "run_id": "run-x",
+                    "stage": "route",
+                    "batch_seq": seq,
+                    "unit_id": u,
+                    "source": None,
+                    "rows": 1,
+                    "bytes": 4,
+                    "snapshot_id": 1,
+                }
+                for u in range(n_units)
+            ]
+        )
+
+    collected: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+
+    delta = store.discovery_delta(spark, current)
+    assert delta["new"] == [] and delta["changed"] == [] and delta["missing"] == []
+    assert delta["max_seq"] == n_batches - 1
+    assert sum(collected) == 0, "steady-state delta must collect zero rows"
+
+    collected.clear()
+    assert store.pending_work(spark, n_units) == []
+    # one incomplete-batch probe row per batch at most, never per file
+    assert sum(collected) <= n_batches
