@@ -73,10 +73,13 @@ def test_cli_drift_second_epoch_writes_table(spark, tmp_path):
 
 
 def test_cli_assemble_writes_disjoint_splits(spark, tmp_path):
-    """--assemble lands <out>/assembly/{train,val,test}: every routed
-    doc in exactly one split (doc-hash split — no doc leaks across
-    splits regardless of sink fan-out), deterministic shuffle order
-    and chunk assignments present."""
+    """--assemble lands <out>/assembly hive-partitioned by _split
+    (ONE corpus scan + ONE shuffle for all three splits): every
+    routed doc in exactly one split (doc-hash split — no doc leaks
+    across splits regardless of sink fan-out), deterministic shuffle
+    order and chunk assignments present."""
+    import os
+
     from ves_spark.synth import write_fixture
 
     fix = str(tmp_path / "fix")
@@ -86,8 +89,12 @@ def test_cli_assemble_writes_disjoint_splits(spark, tmp_path):
         "--assemble", "--assemble-val-pct", "10", "--assemble-test-pct", "10",
     ])
 
+    asm = spark.read.parquet(f"{out}/assembly")
+    assert {"_split=train", "_split=val", "_split=test"} <= set(
+        os.listdir(f"{out}/assembly")
+    )
     splits = {
-        name: spark.read.parquet(f"{out}/assembly/{name}")
+        name: asm.filter(F.col("_split") == name).drop("_split")
         for name in ("train", "val", "test")
     }
     for df in splits.values():
@@ -124,7 +131,7 @@ def test_cli_assemble_ffd_bins_within_capacity(spark, tmp_path):
         "--assemble-capacity", str(cap),
         "--assemble-val-pct", "10", "--assemble-test-pct", "10",
     ])
-    train = spark.read.parquet(f"{out}/assembly/train")
+    train = spark.read.parquet(f"{out}/assembly").filter("_split = 'train'")
     assert "bin_id" in train.columns
     fills = train.groupBy("shard", "bin_id").agg(
         F.sum("n_tok").alias("fill"), F.min("bin_id").alias("b")
@@ -148,7 +155,8 @@ def test_cli_assemble_is_deterministic(spark, tmp_path):
         _run_cli(fix, out, ["--assemble", "--assemble-seed", "7"])
         outs.append(
             sorted(
-                spark.read.parquet(f"{out}/assembly/train")
+                spark.read.parquet(f"{out}/assembly")
+                .filter("_split = 'train'")
                 .select("doc_id", "shuffle_order", "shard")
                 .collect()
             )

@@ -23,7 +23,7 @@ never serves stale tables):
                src/tailer/manager.rs:21-29, compared between epochs)
 * --assemble : dataset assembly over the routed table — deterministic
                shuffle -> sequence packing -> train/val/test split ->
-               <out>/assembly/<split> (the declared-but-absent
+               <out>/assembly (partitioned by _split; the declared-but-absent
                normalization/export stage, src/tailer/manager.rs:28-29)
 """
 
@@ -92,7 +92,7 @@ def _write_drift(spark, pipe: Pipeline, args) -> dict:
 
 def _write_assembly(spark, pipe: Pipeline, args) -> dict:
     """shuffle -> pack -> split over the routed table, written as
-    sized outputs to <out>/assembly/<split>.
+    sized outputs to <out>/assembly, hive-partitioned by _split.
 
     * docs are deduped to one row per doc_id first (routing fans a doc
       to 0..k sinks; training assembly wants each doc once) — the
@@ -105,6 +105,13 @@ def _write_assembly(spark, pipe: Pipeline, args) -> dict:
       pack_chunks_sharded (exact prefix sums via the decomposed scan,
       size-capped shards), or first-fit-decreasing whole-doc bins per
       shard with --assemble-pack ffd;
+    * ONE plan covers all three splits: ``_split`` is the packing
+      stream column and the write is ``partitionBy("_split")`` — the
+      routed corpus is scanned once and shuffled once, not once per
+      split (at 100 TB a per-split loop would triple the dominant
+      cost). Per-split prefix sums are identical to packing each
+      split alone: the stream partition restricts the global shuffle
+      order to the split;
     * --target-file-bytes (the run's existing knob) caps assembly
       files too, via the same once-per-leg bytes/row probe.
     """
@@ -134,38 +141,44 @@ def _write_assembly(spark, pipe: Pipeline, args) -> dict:
         .when(ppm < test_ppm + val_ppm, "val")
         .otherwise("train"),
     )
-    stats: dict = {"assembly_capacity": args.assemble_capacity}
-    for name in ("train", "val", "test"):
-        part = tagged.filter(F.col("_split") == name).drop("_split")
-        shuf = deterministic_shuffle(part, seed, key_col="doc_id")
-        packed = pack_chunks_sharded(
-            shuf.withColumn("_stream", F.lit(name)),
+    shuf = deterministic_shuffle(tagged, seed, key_col="doc_id")
+    packed = pack_chunks_sharded(
+        shuf,
+        args.assemble_capacity,
+        F.col("n_tok"),
+        shard_budget=args.assemble_shard_budget,
+        part_col="_split",
+        order_col="shuffle_order",
+    ).drop("n_size")
+    if args.assemble_pack == "ffd":
+        bins = pack_first_fit_decreasing(
+            packed,
             args.assemble_capacity,
-            F.col("n_tok"),
-            shard_budget=args.assemble_shard_budget,
-            part_col="_stream",
-            order_col="shuffle_order",
-        ).drop("_stream", "n_size")
-        if args.assemble_pack == "ffd":
-            bins = pack_first_fit_decreasing(
-                packed.withColumn("_stream", F.lit(name)),
-                args.assemble_capacity,
-                stream_cols=["_stream", "shard"],
-            ).select("shard", "doc_id", "bin_id")
-            packed = packed.drop("shard").join(bins, "doc_id")
-        opts = {}
-        if args.target_file_bytes > 0:
-            from ves_spark.sources.sizing import estimate_row_bytes
+            stream_cols=["_split", "shard"],
+        ).select("doc_id", "shard", "bin_id")
+        packed = packed.drop("shard").join(bins, "doc_id")
+    opts = {}
+    if args.target_file_bytes > 0:
+        from ves_spark.sources.sizing import estimate_row_bytes
 
-            bpr = estimate_row_bytes(packed)
-            opts["maxRecordsPerFile"] = max(
-                1, int(args.target_file_bytes / max(bpr, 1e-9))
-            )
-        writer = packed.write.mode("overwrite")
-        for k, v in opts.items():
-            writer = writer.option(k, v)
-        writer.parquet(f"{args.out}/assembly/{name}")
-        stats[f"assembly_{name}_docs"] = packed.count()
+        bpr = estimate_row_bytes(packed)
+        opts["maxRecordsPerFile"] = max(
+            1, int(args.target_file_bytes / max(bpr, 1e-9))
+        )
+    writer = packed.write.mode("overwrite").partitionBy("_split")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.parquet(f"{args.out}/assembly")
+    stats: dict = {"assembly_capacity": args.assemble_capacity}
+    counts = {
+        r["_split"]: r["n"]
+        for r in spark.read.parquet(f"{args.out}/assembly")
+        .groupBy("_split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for name in ("train", "val", "test"):
+        stats[f"assembly_{name}_docs"] = int(counts.get(name, 0))
     return stats
 
 
@@ -273,7 +286,7 @@ def main(argv: list[str] | None = None) -> None:
         help="after each run that processed units, assemble the routed "
         "docs into training data: deterministic shuffle -> sequence "
         "packing -> doc-hash train/val/test split, written to "
-        "<out>/assembly/<split>",
+        "<out>/assembly partitioned by _split",
     )
     p.add_argument("--assemble-seed", type=int, default=0)
     p.add_argument(
