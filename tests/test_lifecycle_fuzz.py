@@ -16,8 +16,6 @@ between any of them. One seeded trajectory, fully reproducible."""
 import os
 import random
 
-import pytest
-
 from tests.conftest import assert_same_rows
 from ves_spark.pipeline import Pipeline, PipelineConfig
 from ves_spark.synth import (
@@ -75,6 +73,7 @@ def test_randomized_lifecycle_matches_single_shot(spark, tmp_path):
             new_file_i += 1
             write_sequences_file(path, n, seed=200 + step, start_row=next_row)
             next_row += n
+            target = path  # record the file actually added, not the rng pick
         elif op == "rotate":
             write_sequences_file(target, n, seed=300 + step, start_row=next_row)
             next_row += n
@@ -103,10 +102,13 @@ def test_randomized_lifecycle_matches_single_shot(spark, tmp_path):
             spark, _conf(fix, str(tmp_path / f"single-{step}"), f"s{step}")
         )
         single.run()
-        assert_same_rows(
-            p.routed().select(*COLS).toPandas(),
-            single.routed().select(*COLS).toPandas(),
-        ), (step, trajectory)
+        try:
+            assert_same_rows(
+                p.routed().select(*COLS).toPandas(),
+                single.routed().select(*COLS).toPandas(),
+            )
+        except AssertionError as e:
+            raise AssertionError((step, trajectory)) from e
 
     # the seeded trajectory must actually exercise the interesting ops
     seen_ops = {t[0] for t in trajectory}

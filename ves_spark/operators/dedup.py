@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ves_spark.operators.spread import spread
+
 # ------------------------------------------------------------------ exact
 
 
@@ -101,16 +103,26 @@ def minhash_lsh_candidates(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    # signature stays a per-row map-side expression (no shuffle before
-    # banding); an explode+min-agg variant measured the same wall at
-    # sf0.1 but adds an exchange — the join, not the signature, is the
-    # cost
-    sig = df.select(
+    # Signature via explode + min-aggregate, NOT the per-row
+    # array_min(transform(...)) HOF: higher-order functions run
+    # interpreted (n_hashes * |shingles| interpreted xxhash64 calls
+    # per doc), while the exploded form hashes each shingle n_hashes
+    # times inside whole-stage codegen and partial-aggregates the
+    # mins map-side (guide §4.1: prefer built-ins/codegen over
+    # interpreted per-element lambdas). min over the same multiset ==
+    # array_min over the transform — values are bit-identical.
+    ex = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes).alias(
-            "_sig"
-        ),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
     )
+    sig = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # band hash: concat_ws over the r member columns produces the same
+    # ","-joined string as the old transform(slice(_sig, ...)) form
     banded = sig.select(
         "_id",
         F.explode(
@@ -121,10 +133,10 @@ def minhash_lsh_candidates(
                         F.xxhash64(
                             F.concat_ws(
                                 ",",
-                                F.transform(
-                                    F.slice("_sig", b * r + 1, r),
-                                    lambda x: x.cast("string"),
-                                ),
+                                *[
+                                    F.col(f"_h{b * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
                             )
                         ).alias("bh"),
                     )
@@ -200,26 +212,59 @@ def ngram_jaccard_pairs(
     intersections lose those shingles, making the jaccard a lower
     bound — sound for >= threshold pruning of rare-shingle pairs).
     Default None computes the exact statistic (oracle parity).
+
+    Plan shape (guide §2.3, measured at sf1.0 — 2.6M shingle rows,
+    127M co-occurrence rows, ~115M DISTINCT doc pairs of which the
+    overwhelming majority share exactly ONE shingle):
+
+    * the join key is the 8-byte xxhash64 of the shingle (narrow
+      shuffle; distinct shingles collide only at ~2^-64, the same
+      identity assumption the decontaminate/token-dedup hash joins
+      document);
+    * pair rows entering the count aggregation are exactly
+      (id_a, id_b) — no payload — so the pair shuffle carries 3 longs
+      per row;
+    * a c=1 pair can only reach ``jaccard >= t`` when
+      n_a + n_b <= 1 + 1/t (jaccard = c/(n_a+n_b-c)), so immediately
+      after the count the stream is cut to ``c >= 2 OR both docs
+      tiny`` — a broadcast size lookup + codegen'd filter fused into
+      the aggregation stage that collapses ~10^8 rows to the
+      genuinely-co-occurring tail before anything else touches them
+      (the 1e-4 slack below covers the round-to-4-digits comparison,
+      keeping the pre-filter a strict superset of the final filter).
     """
-    sh = df.select(
+    base = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+        word_shingles(F.col(text_col), k).alias("_sh"),
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = base.select("_id", F.size("_sh").alias("n"))
+    sh = base.select("_id", F.explode("_sh").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("h")
+    )
     if max_df is not None:
-        sh = _cap_buckets(sh, ["s"], max_df)
+        sh = _cap_buckets(sh, ["h"], max_df)
+    # pin the self-join's exchange on the join key: the pair fan-out is
+    # compute-bound (sum over shingles of df^2 pairs), which AQE's
+    # byte-based coalescing would run on one task; 4x parallelism keeps
+    # every partial-aggregation hash map comfortably in memory
+    sh = spread(sh, "h", force=True, factor=4)
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+    counts = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+    c1_sum_bound = 1.0 + 1.0 / max(threshold - 1e-4, 1e-9)
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
+        counts.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(
+            (F.col("c") >= 2)
+            | (F.col("n_a") + F.col("n_b") <= F.lit(c1_sum_bound))
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 4),
@@ -341,8 +386,17 @@ def near_pairs_from_sig(
         ).alias("_b"),
     ).select("_id", "_sig", "_b.blk", "_b.bv")
     blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
+    # pin the block self-join's exchange (compute fan-out vs tiny bytes)
+    blocks = spread(blocks, "blk", "bv", force=True)
     l, r = blocks.alias("l"), blocks.alias("r")
-    cands = (
+    # The Hamming filter runs BEFORE the cross-block distinct (guide
+    # §2.3: filter before the exchange): block joins admit orders of
+    # magnitude more false candidates than true pairs, and bit_count
+    # on the two signatures already in hand is a codegen'd map-side
+    # filter — the distinct then deduplicates only true pairs.
+    # hamming is a function of (id_a, id_b), so filter-then-distinct
+    # returns exactly the old distinct-then-filter row set.
+    return (
         l.join(
             r,
             (F.col("l.blk") == F.col("r.blk"))
@@ -352,17 +406,12 @@ def near_pairs_from_sig(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l._sig").alias("ha"),
-            F.col("r._sig").alias("hb"),
-        )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+            F.bit_count(F.col("l._sig").bitwiseXOR(F.col("r._sig")))
+            .cast("int")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -397,7 +446,9 @@ def simhash_md5(
     assert n_bits % 4 == 0 and n_bits <= 60  # sums of (1 << b) stay in long
     ndig = n_bits // 4
     words = F.split(F.col(text_col), " ")
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(words).alias("w"))
+    ex = spread(df, id_col).select(
+        F.col(id_col).alias("_id"), F.explode(words).alias("w")
+    )
     hx = ex.select("_id", F.md5("w").alias("hx"))
     # digit values once (codegen-friendly ints)
     dv = hx.select(
@@ -413,7 +464,7 @@ def simhash_md5(
     # 4 bit-indicators spread into 16-bit lanes of a long, so ONE sum
     # accumulates 4 bit-counts (safe to 65k words/doc) — 15 agg
     # buffers instead of 60 (measured ~2x on the whole query).
-    def spread(d):
+    def lane_spread(d):
         return (
             d.bitwiseAND(F.lit(1))
             + F.shiftleft(F.shiftright(d, 1).bitwiseAND(F.lit(1)), 16)
@@ -423,7 +474,7 @@ def simhash_md5(
 
     votes = dv.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(spread(F.col(f"d{i}"))).alias(f"s{i}") for i in range(ndig)],
+        *[F.sum(lane_spread(F.col(f"d{i}"))).alias(f"s{i}") for i in range(ndig)],
     )
     # Runtime guard on the lane capacity: a doc with > 65535 words
     # would carry a full lane into its neighbour and silently corrupt

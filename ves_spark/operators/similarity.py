@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ves_spark.operators.crossengine import dlit as _dlit
+from ves_spark.operators.spread import spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -45,6 +46,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# --- fixed-dimension codegen'd variants -------------------------------
+#
+# The HOF fold (aggregate/zip_with) runs INTERPRETED per element; for a
+# known dim the same fold unrolls into a flat arithmetic expression that
+# whole-stage codegen compiles (guide §4.1). Bit-identical to the fold:
+# SQL `+` is left-associative, so `0.0 + p0 + p1 + ...` is the exact
+# IEEE-754 op sequence of `aggregate(..., 0.0, acc + p)`. Out-of-range
+# subscripts yield NULL (non-ANSI), matching zip_with's NULL padding on
+# short arrays — callers pass the true fixed dim.
+
+
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST(`{a}`[{d}] AS DOUBLE) * CAST(`{b}`[{d}] AS DOUBLE)"
+        for d in range(dim)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    """Codegen'd :func:`dot` for fixed-length arrays (bit-identical)."""
+    return F.expr(_dot_fixed_sql(a, b, dim))
+
+
+def norm_fixed(a: str, dim: int) -> Column:
+    """Codegen'd :func:`l2_norm` for fixed-length arrays
+    (bit-identical: same left fold under the same sqrt)."""
+    terms = " + ".join(
+        f"CAST(`{a}`[{d}] AS DOUBLE) * CAST(`{a}`[{d}] AS DOUBLE)"
+        for d in range(dim)
+    )
+    return F.expr(f"sqrt(CAST(0 AS DOUBLE) + {terms})")
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -53,16 +88,36 @@ def cosine_topk_bruteforce(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the (small) query set
     against the corpus, cosine per pair, window top-k. Ties broken by
-    corpus id for determinism. Columns: (q_id, c_id, cos, rnk)."""
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
-    scored = pairs.select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"),
-    )
+    corpus id for determinism. Columns: (q_id, c_id, cos, rnk).
+
+    ``dim`` (when known) switches the per-pair cosine to the unrolled
+    codegen'd fold with per-ROW norms hoisted out of the pair loop —
+    dot/(n_q * n_c) with each norm computed once per input row is the
+    same IEEE op sequence per pair as the inline cosine."""
+    if dim is None:
+        pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+            F.col(q_id) != F.col(c_id)
+        )
+        scored = pairs.select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"),
+        )
+    else:
+        qn = queries.withColumn("_nq", norm_fixed(q_vec, dim))
+        cn = spread(corpus, c_id).withColumn("_nc", norm_fixed(c_vec, dim))
+        pairs = cn.crossJoin(F.broadcast(qn)).filter(F.col(q_id) != F.col(c_id))
+        scored = pairs.select(
+            q_id,
+            c_id,
+            F.round(
+                dot_fixed(q_vec, c_vec, dim) / (F.col("_nq") * F.col("_nc")), 6
+            ).alias("cos"),
+        )
     w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
@@ -200,6 +255,7 @@ def cosine_topk_lsh(
     tables = [
         _planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
     ]
+    corpus = spread(corpus, c_id)
     if bucket_impl == "matmul":
         kern = _table_buckets_matmul(tables)
 
@@ -220,16 +276,23 @@ def cosine_topk_lsh(
         cb = corpus.select(
             c_id, c_vec, F.explode(_table_buckets(F.col(c_vec), tables)).alias("_tb")
         ).select(c_id, c_vec, "_tb.tbl", "_tb.bkt")
+    # per-ROW norms ride the bucketized frames so the per-pair cosine
+    # is one codegen'd dot + one divide (same IEEE sequence: each norm
+    # is computed from the same row value either way)
+    qb = qb.withColumn("_nq", norm_fixed(q_vec, dim))
+    cb = cb.withColumn("_nc", norm_fixed(c_vec, dim))
     pairs = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, q_vec, c_vec)
+        .select(q_id, c_id, q_vec, c_vec, "_nq", "_nc")
         .dropDuplicates([q_id, c_id])
     )
     scored = pairs.select(
         q_id,
         c_id,
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"),
+        F.round(
+            dot_fixed(q_vec, c_vec, dim) / (F.col("_nq") * F.col("_nc")), 6
+        ).alias("cos"),
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -241,22 +304,25 @@ def _assign_nearest(
     c_id: str,
     c_vec: str,
 ) -> DataFrame:
-    """Map-side nearest-centroid assignment: the centroids are driver
-    literals (metadata-sized, broadcast-equivalent), so the argmax
-    over k cells is ONE codegen'd projection riding the scan — no
-    crossJoin, no n×k-row shuffle, no per-row window. This is the
-    100 TB shape: the previous crossJoin + row_number plan shuffled
-    k copies of every corpus row just to pick the max.
+    """Nearest-centroid assignment with the k·dim multiply-adds in
+    whole-stage codegen: posexplode the vector, broadcast-join a tiny
+    (dim × k) literal weight table, and sum x·w_c per (row, centroid)
+    — the `_bucketize_exploded` pattern. The single flat k×dim argmax
+    expression this replaces EXCEEDED the JVM's 64 KB method limit at
+    k=32, dim=64 ("Code grows beyond 64 KB"), so the whole projection
+    fell back to interpreted evaluation AND paid a failed janino
+    compile per distinct centroid set (every training iteration);
+    here each of the k sums is its own split-able codegen expression.
 
-    Bit-identical to the window formulation: same fold cosine per
-    centroid, and the struct max (cos, -cent_id) replicates the
-    ORDER BY cos DESC, cent_id ASC tiebreak exactly. Two
-    bit-safe factorings cut the interpreted-HOF work ~3×: the row
-    vector's norm is computed ONCE (an attribute reused in all k
-    denominators — same expression, same value) and each centroid's
-    norm is computed on the DRIVER with the identical left-to-right
-    double fold (Python += over doubles = the JVM fold = the DuckDB
-    list_sum, all IEEE-754 sequential).
+    Bit-identical to the fold/window formulation: within a partition
+    the exploded elements of one vector are contiguous and in position
+    order, and the partial hash-aggregate accumulates them in row
+    order, so each dot (and the row norm, summed in the same pass) is
+    the SAME sequential left fold — the oracle replays k-means
+    training bit-for-bit on top of this. Each centroid's norm is
+    computed on the DRIVER with the identical left-to-right double
+    fold; the struct max (cos, -cent_id) replicates the ORDER BY cos
+    DESC, cent_id ASC tiebreak exactly.
     Returns (c_id, c_vec, cent_id)."""
     import math
 
@@ -266,36 +332,51 @@ def _assign_nearest(
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
-    # The whole k-way argmax is ONE generated SQL string -> one py4j
-    # round trip. The naive Column construction made ~k*dim F.lit()
-    # py4j calls (2048 for k=32, dim=64), costing seconds of pure
-    # driver time per invocation. `CAST('<repr>' AS DOUBLE)` is the
-    # correctly-rounded string->double conversion of Python's
-    # round-trip repr, so every literal is the same double F.lit()
-    # produced — results stay bit-identical (oracle-asserted).
-    nv = df.select(c_id, c_vec, l2_norm(F.col(c_vec)).alias("_nv"))
+    spark = df.sparkSession
+    dim = len(cents[0][1])
+    wcols = [f"_w{i}" for i in range(len(cents))]
+    wdf = spark.createDataFrame(
+        [
+            (d, *[float(vec[d]) for _, vec in cents])
+            for d in range(dim)
+        ],
+        ["pos", *wcols],
+    )
+    ex = df.select(
+        c_id, c_vec, F.posexplode(F.col(c_vec)).alias("pos", "x")
+    ).join(F.broadcast(wdf), "pos")
+    xd = F.col("x").cast("double")
+    agg = ex.groupBy(c_id).agg(
+        F.first(c_vec).alias(c_vec),
+        F.sum(xd * xd).alias("_nn"),
+        *[F.sum(xd * F.col(w)).alias(f"_d{i}") for i, w in enumerate(wcols)],
+    )
+    # the argmax itself now only references the k dot columns — a
+    # small expression that compiles. sqrt(_nn) == norm_fixed == the
+    # l2_norm fold (same summation order under the same sqrt).
     structs = ", ".join(
-        "named_struct('c', "
-        + _dot_literal_sql(c_vec, vec)
-        + f" / (_nv * {_dlit(_norm(vec))}), "
-        + f"'nid', CAST({-int(cid)} AS BIGINT))"
-        for cid, vec in cents
+        f"named_struct('c', _d{i} / (sqrt(_nn) * {_dlit(_norm(vec))}), "
+        f"'nid', CAST({-int(cid)} AS BIGINT))"
+        for i, (cid, vec) in enumerate(cents)
     )
     best = F.expr(f"array_max(array({structs}))")
-    return nv.select(c_id, c_vec, (-best["nid"]).alias("cent_id"))
+    return agg.select(c_id, c_vec, (-best["nid"]).alias("cent_id"))
 
 
 
 def _dot_literal_sql(vec_col: str, vec: list[float]) -> str:
-    """SQL text of ``dot(col, literal_vec)`` — the identical
-    sequential zip_with/aggregate fold as :func:`dot`, with the
-    vector inlined as exact double literals."""
-    arr = ", ".join(_dlit(x) for x in vec)
-    return (
-        f"aggregate(zip_with(`{vec_col}`, array({arr}), "
-        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    """SQL text of ``dot(col, literal_vec)`` with the vector inlined
+    as exact double literals — UNROLLED so whole-stage codegen
+    compiles it (the zip_with/aggregate fold it replaces ran
+    interpreted per element). Bit-identical: `0.0 + p0 + p1 + ...` is
+    the fold's exact left-associative IEEE op sequence, and
+    `CAST(lit AS DOUBLE)` on an already-double literal was a no-op in
+    the old lambda."""
+    terms = " + ".join(
+        f"CAST(`{vec_col}`[{d}] AS DOUBLE) * {_dlit(float(x))}"
+        for d, x in enumerate(vec)
     )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
 def train_kmeans_centroids(
@@ -332,6 +413,7 @@ def train_kmeans_centroids(
     centroid literals (``_assign_nearest`` — no crossJoin, no n×k
     shuffle) + one map-side-combined groupBy with k·dim long sums;
     only k rows ever reach the driver."""
+    corpus = spread(corpus, c_id)  # file-limited scans: see spread.py
     h = F.conv(
         F.substring(F.md5(F.col(c_id).cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -408,6 +490,7 @@ def cosine_topk_ivf(
     via the matmul kernel pattern above); the probe join is an
     equi-join on ``cent_id``, so a query never touches out-of-list
     candidates and the shuffle key is one small int."""
+    corpus = spread(corpus, c_id)
     trained = train_kmeans_centroids(
         corpus, k=n_cents, iters=train_iters, dim=dim, c_id=c_id, c_vec=c_vec
     )
@@ -420,7 +503,10 @@ def cosine_topk_ivf(
             idc,
             vecc,
             "cent_id",
-            cosine(F.col(vecc), F.col("cent_vec")).alias("_ccos"),
+            (
+                dot_fixed(vecc, "cent_vec", dim)
+                / (norm_fixed(vecc, dim) * norm_fixed("cent_vec", dim))
+            ).alias("_ccos"),
         )
         w = W.partitionBy(idc).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
         return (
@@ -432,17 +518,23 @@ def cosine_topk_ivf(
     # inverted lists: map-side argmax over the centroid literals (the
     # big side never shuffles); the query probe set keeps the window
     # top-n_probe (the query side is small by construction)
-    assign = _assign_nearest(corpus, trained, c_id, c_vec)
-    probes = nearest(queries, q_id, q_vec, n_probe)   # query probe set
+    assign = _assign_nearest(corpus, trained, c_id, c_vec).withColumn(
+        "_nc", norm_fixed(c_vec, dim)
+    )
+    probes = nearest(queries, q_id, q_vec, n_probe).withColumn(
+        "_nq", norm_fixed(q_vec, dim)
+    )
     pairs = (
         assign.join(probes, "cent_id")
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, q_vec, c_vec)
+        .select(q_id, c_id, q_vec, c_vec, "_nq", "_nc")
     )
     scored = pairs.select(
         q_id,
         c_id,
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("cos"),
+        F.round(
+            dot_fixed(q_vec, c_vec, dim) / (F.col("_nq") * F.col("_nc")), 6
+        ).alias("cos"),
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -468,17 +560,21 @@ def cosine_near_dup_pairs(
     table (recall 1-(1-p^b)^L); every returned pair's cosine is exact.
     Columns: (id_a, id_b, cos) with id_a < id_b."""
     tables = [_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+    corpus = spread(corpus, c_id)
     if bucket_impl == "exploded":
         cb = _bucketize_exploded(corpus, c_id, c_vec, tables)
     else:
         cb = corpus.select(
             c_id, c_vec, F.explode(_table_buckets(F.col(c_vec), tables)).alias("_tb")
         ).select(c_id, c_vec, "_tb.tbl", "_tb.bkt")
+    cb = cb.withColumn("_n", norm_fixed(c_vec, dim))
     a = cb.select(
-        F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"), "tbl", "bkt"
+        F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"),
+        F.col("_n").alias("_na"), "tbl", "bkt",
     )
     b = cb.select(
-        F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"), "tbl", "bkt"
+        F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"),
+        F.col("_n").alias("_nb"), "tbl", "bkt",
     )
     pairs = (
         a.join(b, ["tbl", "bkt"])
@@ -489,7 +585,9 @@ def cosine_near_dup_pairs(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            F.round(
+                dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -531,18 +629,38 @@ def semantic_dedup(
         corpus, k=n_cents, iters=train_iters, dim=dim, c_id=c_id, c_vec=c_vec
     )
     # map-side argmax assignment — the corpus never shuffles here; the
-    # only exchange in the whole operator is the cent_id pair join
-    assign = _assign_nearest(corpus, trained, c_id, c_vec)
+    # only exchange in the whole operator is the cent_id pair join.
+    # localCheckpoint: the assignment feeds BOTH sides of the pair
+    # self-join and the final anti-join — without it the k-way argmax
+    # projection runs three times over the corpus (and the per-row
+    # norm rides the materialized frame into every pair). The explicit
+    # repartition sizes the pair join by COMPUTE, not bytes: the
+    # within-cluster self-join fans out |cluster|^2 cosines from a
+    # byte-tiny input, which AQE's byte-based coalescing would happily
+    # squeeze onto one task; partition count follows the session's
+    # parallelism, never a constant.
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    assign = (
+        _assign_nearest(corpus, trained, c_id, c_vec)
+        .withColumn("_n", norm_fixed(c_vec, dim))
+        .repartition(n_parts, "cent_id")
+        .localCheckpoint(eager=True)
+    )
     a = assign.select(
-        F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"), "cent_id"
+        F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"),
+        F.col("_n").alias("_na"), "cent_id",
     )
     b = assign.select(
-        F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"), "cent_id"
+        F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"),
+        F.col("_n").alias("_nb"), "cent_id",
     )
     dropped = (
         a.join(b, "cent_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(
+            dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
         .select(F.col("id_b").alias(c_id))
         .distinct()
     )

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ves_spark.operators.spread import spread
+
 # A tiny English stopword list — enough for a ratio heuristic.
 EN_STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -165,7 +167,7 @@ def contaminated_docs(
     verify is free at scale: it only runs on hits, and hits are
     rare."""
     d_grams = (
-        _with_ngrams(docs, text_col, n, "_grams")
+        _with_ngrams(spread(docs, id_col), text_col, n, "_grams")
         .select(F.col(id_col), F.explode(F.array_distinct("_grams")).alias("_g"))
         .select(id_col, "_g", F.xxhash64("_g").alias("_gh"))
     )
@@ -261,6 +263,26 @@ def char_bigrams(col_name: str) -> Column:
     )
 
 
+# Codepoints are < 0x110000 = 1114112, so cp1 * 1114112 + cp2 is a
+# bijective encoding of a character bigram into one BIGINT.
+_CP_BASE = 1114112
+
+
+def char_bigram_codes(col_name: str) -> Column:
+    """Character bigrams as packed codepoint-pair BIGINTs (empty below
+    two chars) — the bijective integer form of :func:`char_bigrams`:
+    grouping/joining on the code is exactly grouping/joining on the
+    bigram string, but the keys are 8-byte longs instead of per-
+    position string allocations (guide §2.3: narrower types)."""
+    return F.expr(
+        f"CASE WHEN char_length(`{col_name}`) >= 2 THEN "
+        f"transform(sequence(1, char_length(`{col_name}`) - 1), "
+        f"i -> CAST(ascii(substring(`{col_name}`, i, 1)) AS BIGINT) "
+        f"* {_CP_BASE} + ascii(substring(`{col_name}`, i + 1, 1))) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
 def lm_fluency(
     df: DataFrame,
     text_col: str = "text",
@@ -286,14 +308,22 @@ def lm_fluency(
     100 TB shape: the model is one map-side-combined groupBy over a
     bounded key space (char-pair grams), broadcast back; doc scoring
     explodes bigrams map-side, joins the broadcast model, and the
-    per-doc mean partial-aggregates before its only shuffle."""
-    toks = df.select(id_col, F.explode(char_bigrams(text_col)).alias("bg"))
-    model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
-    prefix = model.groupBy(F.substring("bg", 1, 1).alias("pc")).agg(
-        F.sum("c_bg").alias("c_pre")
+    per-doc mean partial-aggregates before its only shuffle.
+
+    Internally bigrams are packed codepoint-pair longs
+    (:func:`char_bigram_codes` — bijective with the bigram string),
+    so the model aggregation and the broadcast probe hash 8-byte
+    keys, never per-position strings; counts, probabilities and
+    scores are identical to the string-keyed formulation."""
+    toks = spread(df, id_col).select(
+        id_col, F.explode(char_bigram_codes(text_col)).alias("bg")
     )
+    model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix = model.groupBy(
+        F.expr(f"bg DIV {_CP_BASE}").alias("pc")
+    ).agg(F.sum("c_bg").alias("c_pre"))
     model = model.join(
-        F.broadcast(prefix), F.substring(model["bg"], 1, 1) == prefix["pc"]
+        F.broadcast(prefix), F.expr(f"(bg DIV {_CP_BASE}) = pc")
     ).select("bg", "c_bg", "c_pre")
     # p is one correctly-rounded division; * quant is an exact
     # exponent shift; floor is exact -> the long sum is engine-free.

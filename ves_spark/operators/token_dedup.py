@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ves_spark.operators.spread import spread
+
 # ASCII unit separator: cannot appear inside a token rendered from a
 # token-id integer, and is vanishingly rare in natural-language words —
 # prevents "a,b"+"c" vs "a"+"b,c" join-key collisions.
@@ -86,7 +88,7 @@ def duplicate_spans(
     ``min_count``+ times corpus-wide, with overlapping/adjacent
     windows merged (gaps-and-islands on the hit positions).
     """
-    toks = df.select(id_col, tokens_col)
+    toks = spread(df.select(id_col, tokens_col), id_col)
     grams = toks.select(
         id_col,
         F.posexplode(F.expr(_gram_hash_expr(tokens_col, k, hash_mode))).alias(

@@ -1002,7 +1002,8 @@ def cosine_topk_q(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return cosine_topk_bruteforce(queries_df, corpus, k=5)
+    # dim=64: unrolled codegen'd cosine (bit-identical to the fold)
+    return cosine_topk_bruteforce(queries_df, corpus, k=5, dim=64)
 
 
 def _ann_lsh_oracle_sql(n_planes: int = 3, n_tables: int = 12, dim: int = 64) -> str:
@@ -1422,13 +1423,16 @@ def token_count_docs(spark, sf_dir):
     rep_ratio from operators/text.py::repetition_features). The fp
     word hash ((len*131 + ascii(first)) mod M) is the cross-engine
     variant; production (operators/text.py) uses xxhash64 words."""
+    from ves_spark.operators.spread import spread
     from ves_spark.operators.text import (
         bpe_token_count,
         repetition_features,
         ws_token_count,
     )
 
-    d = load(spark, sf_dir, "documents")
+    # map-heavy per-doc projections over a file-limited scan: one
+    # narrow keyed shuffle unlocks the cores (see operators/spread.py)
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
     words = F.split(F.trim(F.col("text")), r"\s+")
     vals = F.transform(
         words, lambda w: (F.length(w) * 131 + F.ascii(w)) % 1000000007
@@ -1767,8 +1771,22 @@ def quality_scores_docs(spark, sf_dir):
     )
     from ves_spark.operators.text import langid_scores, quality_features
 
-    d = load(spark, sf_dir, "documents")
-    scored = langid_scores(quality_features(d, "text"), "text")
+    from ves_spark.operators.spread import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
+    # Feature extraction (regex/split-heavy) is consumed by every
+    # training iteration AND the final scoring pass — materialize the
+    # pruned feature frame once (localCheckpoint) so the text parsing
+    # runs a single time instead of iters+1 times. Projected to the
+    # needed columns first so the checkpoint holds features, not text.
+    scored = (
+        langid_scores(quality_features(d, "text"), "text")
+        .select(
+            "doc_id", "lang", "n_words", "stop_ratio", "punct_ratio",
+            "quality_score", "en_score", "ascii_ratio",
+        )
+        .localCheckpoint(eager=True)
+    )
     w = train_linear_classifier(
         scored, _CLF_FEATS, _CLF_LABEL, iters=_CLF_ITERS, lr=_CLF_LR
     )
@@ -1820,9 +1838,11 @@ def pii_redact_docs(spark, sf_dir):
     with per-doc detection counts — the redaction stage of a
     training-data pipeline, checked down to the exact redacted string.
     Map-only codegen'd regexps; zero shuffle at any scale."""
+    from ves_spark.operators.spread import spread
     from ves_spark.operators.text import pii_features
 
-    d = load(spark, sf_dir, "documents")
+    # 4 regex passes per doc on a file-limited scan: spread first
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
     planted = d.select(
         "doc_id",
         F.when(
@@ -1930,8 +1950,9 @@ def multimodal_features_q(spark, sf_dir):
     Oracle: DuckDB recomputes n_bytes (octet_length of the utf-8
     encoding) and the byte-sum checksum from hex(encode(text))."""
     from ves_spark.operators.multimodal import extract_features
+    from ves_spark.operators.spread import spread
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -1965,24 +1986,27 @@ def multimodal_features_q(spark, sf_dir):
 def asof_join_last_order(spark, sf_dir):
     """As-of join (Spark lacks a native one): latest order per event at
     or before the event timestamp — equi-join on the key + range
-    predicate + per-event top-1 window, with a total-order tiebreak.
-    At scale, the window degenerates to a map-side top-1 after AQE
-    because the join output is already partitioned by event."""
+    predicate + per-event top-1.
+
+    The top-1 is a ``max(struct(o_orderdate, o_orderkey))`` aggregate,
+    not a window: struct max is the lexicographic (date, key) maximum
+    = exactly the ``ORDER BY o_orderdate DESC, o_orderkey DESC``
+    row_number()=1 row (o_orderkey is unique, so no ties), and the
+    aggregate partial-combines map-side — the join output never
+    re-shuffles whole rows by event_id, only one partial max per
+    (task, event) (guide §2.3 "aggregate before you shuffle")."""
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
     joined = e.join(
         o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
     )
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("_m"))
         .select(
             "event_id",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            F.col("_m.o_orderkey").alias("last_orderkey"),
+            F.date_format("_m.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
                 "last_orderdate"
             ),
         )
@@ -2018,7 +2042,16 @@ def range_join_ship_orders(spark, sf_dir):
     turns it into a hash equi-join on quantized day buckets with an
     exact post-filter (plan-asserted nested-loop-free in
     tests/test_round5_ops.py). Day arithmetic is integer datediff on
-    both engines, so the oracle replays exactly."""
+    both engines, so the oracle replays exactly.
+
+    Plan shape (guide §2.3 "aggregate before you shuffle"): lineitem
+    is pre-aggregated to per-DAY partials (count, sum) before the
+    range join — the ship-day domain is thousands of values, so the
+    join touches day-rows instead of 6M+ line rows and the per-order
+    aggregate merges at most ceil(window/1day)+1 partials. Exact:
+    counts are longs, and l_quantity is integer-valued (TPC-H
+    quantities), so the regrouped double sums are order-independent
+    integer arithmetic — bit-identical to summing raw rows."""
     from ves_spark.operators.joins import bucketed_range_join
 
     epoch = F.lit("1970-01-01").cast("date")
@@ -2033,16 +2066,24 @@ def range_join_ship_orders(spark, sf_dir):
         )
         .withColumn("e", F.col("s") + F.lit(2.0))
     )
-    l = load(spark, sf_dir, "lineitem").select(
-        F.datediff(F.col("l_shipdate").cast("date"), epoch)
-        .cast("double")
-        .alias("p"),
-        "l_quantity",
+    l_day = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), epoch)
+            .cast("double")
+            .alias("p"),
+            "l_quantity",
+        )
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("_day_cnt"),
+            F.sum("l_quantity").alias("_day_qty"),
+        )
     )
-    joined = bucketed_range_join(l, o, "p", "s", "e", bucket_width=2.0)
+    joined = bucketed_range_join(l_day, o, "p", "s", "e", bucket_width=2.0)
     return joined.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_shipped"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum("_day_cnt").alias("n_shipped"),
+        F.round(F.sum("_day_qty"), 2).alias("sum_qty"),
     )
 
 

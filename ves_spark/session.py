@@ -42,6 +42,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan parallelism floor (guide §6): minPartitionNum derives
+        # split sizes from input_bytes / cores, so a compute-heavy
+        # scan over a byte-small table (a 10 MB parquet of documents
+        # whose shingle self-join fans out 100M pairs) is not pinned
+        # to 1-2 tasks by the 128 MB default split. openCostInBytes
+        # is the per-file padding that FLOORS split size; the 4 MB
+        # default models slow remote opens — for local/page-cached
+        # parquet it throttles small-table parallelism, so it is
+        # parameterised with a small local default. Both knobs scale
+        # with the session's core count, never a literal constant.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(512 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
