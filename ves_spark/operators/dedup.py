@@ -237,7 +237,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), k).alias("_sh"),
     )
-    sizes = base.select("_id", F.size("_sh").alias("n"))
+    # sizes feeds TWO broadcast builds (n_a, n_b) — materialize the
+    # (id, count) frame once (metadata-scale: one row per doc) so each
+    # broadcast does not re-scan the corpus and recompute shingles
+    sizes = base.select("_id", F.size("_sh").alias("n")).localCheckpoint(
+        eager=True
+    )
     sh = base.select("_id", F.explode("_sh").alias("_s")).select(
         "_id", F.xxhash64("_s").alias("h")
     )
@@ -250,11 +255,36 @@ def ngram_jaccard_pairs(
     sh = spread(sh, "h", force=True, factor=4)
     a = sh.alias("a")
     b = sh.alias("b")
-    counts = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    joined = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id"))
     )
+    # When ids fit in 31 bits (checked on the metadata-scale sizes
+    # frame — one tiny job over the checkpoint), count on ONE packed
+    # long instead of a two-long key: the 10^8-row pair aggregation is
+    # the dominant cost and the packed key halves its width (guide
+    # §2.3 narrower types). id_a < 2^31 and id_a > id_b is impossible
+    # here (a < b), so pk = id_a * 2^32 + id_b is bijective and
+    # decomposes exactly after the aggregate.
+    lo, hi = sizes.agg(F.min("_id"), F.max("_id")).collect()[0]
+    if lo is not None and lo >= 0 and hi < (1 << 31):
+        counts = (
+            joined.select(
+                (
+                    F.shiftleft(F.col("a._id"), 32) + F.col("b._id")
+                ).alias("_pk")
+            )
+            .groupBy("_pk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                F.shiftrightunsigned("_pk", 32).alias("id_a"),
+                F.col("_pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+                "c",
+            )
+        )
+    else:
+        counts = joined.groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        ).agg(F.count(F.lit(1)).alias("c"))
     na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
     c1_sum_bound = 1.0 + 1.0 / max(threshold - 1e-4, 1e-9)

@@ -524,8 +524,11 @@ def cosine_topk_ivf(
     probes = nearest(queries, q_id, q_vec, n_probe).withColumn(
         "_nq", norm_fixed(q_vec, dim)
     )
+    # probes = n_queries × n_probe rows — small by construction; the
+    # hint keeps the candidate join a BroadcastHashJoin on cent_id
+    # (post-aggregation size estimates would otherwise pick SMJ)
     pairs = (
-        assign.join(probes, "cent_id")
+        assign.join(F.broadcast(probes), "cent_id")
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, q_vec, c_vec, "_nq", "_nc")
     )

@@ -462,7 +462,14 @@ def hdr_percentiles_rollup(spark, sf_dir):
     """,
 )
 def json_parse_props(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
+    from ves_spark.operators.spread import spread
+
+    # project to the one needed column, then spread: the JSON parse is
+    # the dominant per-row cost and the single-row-group scan would
+    # otherwise run it on one task (see operators/spread.py)
+    e = spread(
+        load(spark, sf_dir, "events").select("event_id", "props"), "event_id"
+    )
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.select((k % 10).alias("k_mod"))
@@ -1997,6 +2004,16 @@ def asof_join_last_order(spark, sf_dir):
     (task, event) (guide §2.3 "aggregate before you shuffle")."""
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    # semi-join pre-filter (guide §3.2): the event user domain is a
+    # tiny fraction of the order custkey domain, so dropping
+    # non-matching orders map-side (broadcast of the distinct users)
+    # keeps ~99% of the orders table out of the join shuffle; an inner
+    # join discards those rows anyway — result unchanged.
+    o = o.join(
+        F.broadcast(e.select("user_id").distinct()),
+        o.o_custkey == F.col("user_id"),
+        "left_semi",
+    )
     joined = e.join(
         o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
     )
