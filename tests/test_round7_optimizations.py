@@ -75,6 +75,68 @@ def test_ngram_jaccard_matches_reference_formulation(spark, max_df):
     assert got == want and len(got) > 0
 
 
+def test_ngram_jaccard_all_count_plans_agree(spark):
+    """The three pair-count plans — packed-key broadcast probe (the
+    exchange-free local plan), packed-key shuffle (the 100 TB plan,
+    forced via broadcast_index_rows=0), and the unpacked fallback
+    (forced via ids outside the packable range) — return identical
+    rows."""
+    from ves_spark.operators.dedup import (
+        _ngram_jaccard_pairs_unpacked,
+        ngram_jaccard_pairs,
+    )
+
+    df = _docs(spark)
+    want = sorted(map(tuple, _ngram_jaccard_reference(df, 3, 0.2).collect()))
+    bcast = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                df, "text", "doc_id", k=3, threshold=0.2,
+                broadcast_index_rows=10**9,
+            ).collect(),
+        )
+    )
+    shuffle = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                df, "text", "doc_id", k=3, threshold=0.2,
+                broadcast_index_rows=0,
+            ).collect(),
+        )
+    )
+    unpacked = sorted(
+        map(
+            tuple,
+            _ngram_jaccard_pairs_unpacked(
+                df, "text", "doc_id", 3, 0.2, None
+            ).collect(),
+        )
+    )
+    assert bcast == want and shuffle == want and unpacked == want
+    assert len(want) > 0
+
+
+def test_ngram_jaccard_unpackable_ids_take_fallback(spark):
+    """Negative doc ids cannot ride the packed key; the operator must
+    detect that on the materialized stats and still return the exact
+    row set via the unpacked plan."""
+    from ves_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _docs(spark).withColumn(
+        "doc_id", F.col("doc_id") - F.lit(20_000)
+    )
+    got = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.2).collect(),
+        )
+    )
+    want = sorted(map(tuple, _ngram_jaccard_reference(df, 3, 0.2).collect()))
+    assert got == want and len(got) > 0
+
+
 # ---------------------------------------------------------- minhash
 
 

@@ -194,6 +194,80 @@ def minhash_dedup_pairs(
 # ------------------------------------------------------- n-gram jaccard
 
 
+# Packed (doc id, shingle count) key: id in the high bits, n in the
+# low 20 — bijective while id < 2^43 and n < 2^20 (checked at runtime
+# on the materialized shingle frame; the classic shuffle plan is the
+# fallback). Monotone in id, and a doc's (id, n) is unique, so
+# pk_a < pk_b  ⟺  id_a < id_b  for distinct docs.
+_NGRAM_N_BITS = 20
+
+
+def _ngram_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_df: int | None
+) -> DataFrame:
+    """(pk, h) rows: one row per (doc, distinct shingle), with the doc
+    id and its distinct-shingle count packed into ``pk`` and the
+    8-byte xxhash64 of the shingle as ``h`` (narrow keys, guide §2.3;
+    distinct shingles collide only at ~2^-64 — the same identity
+    assumption the decontaminate/token-dedup hash joins document)."""
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), k).alias("_sh"),
+    )
+    sh = base.select(
+        "_id",
+        F.size("_sh").alias("n"),
+        F.explode("_sh").alias("_s"),
+    ).select(
+        "_id",
+        "n",
+        (F.shiftleft(F.col("_id"), _NGRAM_N_BITS) + F.col("n")).alias("pk"),
+        F.xxhash64("_s").alias("h"),
+    )
+    if max_df is not None:
+        sh = _cap_buckets(sh, ["h"], max_df)
+    return sh
+
+
+def _ngram_pair_counts_broadcast(sh: DataFrame, factor: int = 4) -> DataFrame:
+    """(pk_a, pk_b, c) co-occurrence counts with ZERO pair shuffle:
+    the probe side is hash-partitioned by ``pk`` (the a-side key), the
+    whole inverted index rides a broadcast, so every (a, b) pair
+    materializes in exactly a's partition — HashPartitioning(pk_a)
+    satisfies the count's ClusteredDistribution(pk_a, pk_b) and Spark
+    plans the 10^8-row aggregation WITHOUT an exchange, fused into the
+    probe stage (measured: the pair shuffle was 129M rows / 905 MB and
+    the post-shuffle aggregate the single largest stage of the query).
+    """
+    p = sh.sparkSession.sparkContext.defaultParallelism * factor
+    probe = sh.repartition(p, "pk").alias("a")
+    build = F.broadcast(sh).alias("b")
+    return (
+        probe.join(
+            build,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _ngram_pair_counts_shuffle(sh: DataFrame, factor: int = 4) -> DataFrame:
+    """The 100 TB plan for the same (pk_a, pk_b, c) counts: both sides
+    exchange on the shingle hash (the inverted index no longer fits a
+    broadcast), pairs shuffle to a count aggregate. The exchange is
+    pinned at ``factor``x the session parallelism: the pair fan-out is
+    compute-bound (sum over shingles of df^2), which AQE's byte-based
+    coalescing would run on one task."""
+    sh = spread(sh, "h", force=True, factor=factor)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -201,6 +275,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    broadcast_index_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs shingle Jaccard >= threshold via an inverted
     index: explode distinct shingles, self-join on shingle, count
@@ -213,85 +288,117 @@ def ngram_jaccard_pairs(
     bound — sound for >= threshold pruning of rare-shingle pairs).
     Default None computes the exact statistic (oracle parity).
 
-    Plan shape (guide §2.3, measured at sf1.0 — 2.6M shingle rows,
-    127M co-occurrence rows, ~115M DISTINCT doc pairs of which the
-    overwhelming majority share exactly ONE shingle):
+    Plan shape (guide §2.3/§2.4, measured at sf1.0 — 2.6M shingle
+    rows, 129M co-occurrence rows, ~115M DISTINCT doc pairs of which
+    the overwhelming majority share exactly ONE shingle):
 
-    * the join key is the 8-byte xxhash64 of the shingle (narrow
-      shuffle; distinct shingles collide only at ~2^-64, the same
-      identity assumption the decontaminate/token-dedup hash joins
-      document);
-    * pair rows entering the count aggregation are exactly
-      (id_a, id_b) — no payload — so the pair shuffle carries 3 longs
-      per row;
+    * the (id, shingle-count) pair rides ONE packed long key, so the
+      pair aggregation keys are 2 longs and the jaccard filter needs
+      NO size-lookup joins afterwards — n_a/n_b decode straight out of
+      the grouping keys;
+    * the shingle frame is materialized ONCE (localCheckpoint — it
+      feeds both sides of the self-join, which otherwise re-scans the
+      corpus and recomputes every shingle);
+    * when the inverted index fits executor memory
+      (``broadcast_index_rows``, default parameterised via
+      SPARK_GRAFT_NGRAM_BCAST_ROWS), the pair COUNT aggregation runs
+      with no exchange at all (``_ngram_pair_counts_broadcast``);
+      above the cap it degrades to the classic both-sides-exchanged
+      plan (``_ngram_pair_counts_shuffle``) — the 100 TB shape;
     * a c=1 pair can only reach ``jaccard >= t`` when
-      n_a + n_b <= 1 + 1/t (jaccard = c/(n_a+n_b-c)), so immediately
-      after the count the stream is cut to ``c >= 2 OR both docs
-      tiny`` — a broadcast size lookup + codegen'd filter fused into
-      the aggregation stage that collapses ~10^8 rows to the
-      genuinely-co-occurring tail before anything else touches them
-      (the 1e-4 slack below covers the round-to-4-digits comparison,
-      keeping the pre-filter a strict superset of the final filter).
+      n_a + n_b <= 1 + 1/t (jaccard = c/(n_a+n_b-c)), so the stream
+      is cut to ``c >= 2 OR both docs tiny`` right after the count,
+      fused into the aggregation stage (the 1e-4 slack keeps the
+      pre-filter a strict superset of the round-to-4-digits filter).
     """
+    import os
+
+    if broadcast_index_rows is None:
+        broadcast_index_rows = int(
+            os.environ.get("SPARK_GRAFT_NGRAM_BCAST_ROWS", str(8_000_000))
+        )
+    sh = _ngram_shingle_rows(df, text_col, id_col, k, max_df).localCheckpoint(
+        eager=True
+    )
+    # validity of the packed key, checked on the TRUE stored (_id, n)
+    # columns (decoding the pack could alias an overflow back into
+    # range) — one tiny job over the materialized checkpoint
+    stats = sh.agg(
+        F.count(F.lit(1)), F.min("_id"), F.max("_id"), F.max("n")
+    ).collect()[0]
+    n_rows, id_lo, id_hi, n_hi = stats
+    if not (
+        n_rows == 0
+        or (
+            0 <= id_lo
+            and id_hi < (1 << (62 - _NGRAM_N_BITS))
+            and n_hi < (1 << _NGRAM_N_BITS)
+        )
+    ):
+        # ids/counts outside the packable range: rebuild unpacked —
+        # (id, n) as two columns, the classic shuffle-count plan.
+        return _ngram_jaccard_pairs_unpacked(
+            df, text_col, id_col, k, threshold, max_df
+        )
+    sh = sh.select("pk", "h")
+    counts = (
+        _ngram_pair_counts_broadcast(sh)
+        if n_rows <= broadcast_index_rows
+        else _ngram_pair_counts_shuffle(sh)
+    )
+    c1_sum_bound = 1.0 + 1.0 / max(threshold - 1e-4, 1e-9)
+    n_mask = (1 << _NGRAM_N_BITS) - 1
+    n_a = F.col("pk_a").bitwiseAND(F.lit(n_mask))
+    n_b = F.col("pk_b").bitwiseAND(F.lit(n_mask))
+    return (
+        counts.filter(
+            (F.col("c") >= 2) | (n_a + n_b <= F.lit(c1_sum_bound))
+        )
+        .select(
+            F.shiftrightunsigned("pk_a", _NGRAM_N_BITS).alias("id_a"),
+            F.shiftrightunsigned("pk_b", _NGRAM_N_BITS).alias("id_b"),
+            F.round(F.col("c") / (n_a + n_b - F.col("c")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_pairs_unpacked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    max_df: int | None,
+) -> DataFrame:
+    """Fallback for id/count domains that do not fit the packed key:
+    identical algorithm with (id, n) as separate columns and the
+    shuffle-count plan (negative/huge ids are rare enough that this
+    path does not need the broadcast variant)."""
     base = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), k).alias("_sh"),
     )
-    # sizes feeds TWO broadcast builds (n_a, n_b) — materialize the
-    # (id, count) frame once (metadata-scale: one row per doc) so each
-    # broadcast does not re-scan the corpus and recompute shingles
-    sizes = base.select("_id", F.size("_sh").alias("n")).localCheckpoint(
-        eager=True
-    )
-    sh = base.select("_id", F.explode("_sh").alias("_s")).select(
-        "_id", F.xxhash64("_s").alias("h")
-    )
+    sh = base.select(
+        "_id", F.size("_sh").alias("n"), F.explode("_sh").alias("_s")
+    ).select("_id", "n", F.xxhash64("_s").alias("h"))
     if max_df is not None:
         sh = _cap_buckets(sh, ["h"], max_df)
-    # pin the self-join's exchange on the join key: the pair fan-out is
-    # compute-bound (sum over shingles of df^2 pairs), which AQE's
-    # byte-based coalescing would run on one task; 4x parallelism keeps
-    # every partial-aggregation hash map comfortably in memory
     sh = spread(sh, "h", force=True, factor=4)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = a.join(
-        b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id"))
-    )
-    # When ids fit in 31 bits (checked on the metadata-scale sizes
-    # frame — one tiny job over the checkpoint), count on ONE packed
-    # long instead of a two-long key: the 10^8-row pair aggregation is
-    # the dominant cost and the packed key halves its width (guide
-    # §2.3 narrower types). id_a < 2^31 and id_a > id_b is impossible
-    # here (a < b), so pk = id_a * 2^32 + id_b is bijective and
-    # decomposes exactly after the aggregate.
-    lo, hi = sizes.agg(F.min("_id"), F.max("_id")).collect()[0]
-    if lo is not None and lo >= 0 and hi < (1 << 31):
-        counts = (
-            joined.select(
-                (
-                    F.shiftleft(F.col("a._id"), 32) + F.col("b._id")
-                ).alias("_pk")
-            )
-            .groupBy("_pk")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(
-                F.shiftrightunsigned("_pk", 32).alias("id_a"),
-                F.col("_pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
-                "c",
-            )
+    a, b = sh.alias("a"), sh.alias("b")
+    counts = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("a.n").alias("n_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("b.n").alias("n_b"),
         )
-    else:
-        counts = joined.groupBy(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        ).agg(F.count(F.lit(1)).alias("c"))
-    na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     c1_sum_bound = 1.0 + 1.0 / max(threshold - 1e-4, 1e-9)
     return (
-        counts.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .filter(
+        counts.filter(
             (F.col("c") >= 2)
             | (F.col("n_a") + F.col("n_b") <= F.lit(c1_sum_bound))
         )
