@@ -326,3 +326,36 @@ def test_char_bigram_codes_bijective_with_strings(spark):
         assert len(r["s"]) == len(r["c"])
         for s, c in zip(r["s"], r["c"]):
             assert c == ord(s[0]) * _CP_BASE + ord(s[1])
+
+
+def test_char_bigram_codes_from_chars_equals_substring_form(spark):
+    """The O(chars) split('')/element_at form returns exactly the
+    O(chars^2) substring form's codes — including non-ASCII, non-BMP
+    (surrogate-pair) codepoints, nulls and short strings."""
+    from pyspark.sql import functions as F
+
+    from ves_spark.operators.text import (
+        char_bigram_codes,
+        char_bigram_codes_from_chars,
+    )
+
+    rows = [
+        (1, "hello world"),
+        (2, "aa"),
+        (3, "x"),
+        (4, ""),
+        (5, "héllo ü"),
+        (6, "a\U0001F389b\U0001F680"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = (
+        df.withColumn("_chars", F.expr("split(`t`, '')"))
+        .select(
+            char_bigram_codes("t").alias("old"),
+            char_bigram_codes_from_chars("_chars").alias("new"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["old"] == r["new"]

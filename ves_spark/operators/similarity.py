@@ -436,24 +436,43 @@ def train_kmeans_centroids(
     )
     cents = [(r["cent_id"], list(r["cent_vec"])) for r in seeds.collect()]
 
-    sum_struct = F.expr(
-        "named_struct('n', count(1), "
-        + ", ".join(
-            f"'s{d}', sum(floor(CAST(`{c_vec}`[{d}] AS DOUBLE) * "
-            f"{_dlit(float(quant))}))"
-            for d in range(dim)
-        )
-        + ")"
-    )
+    # Update step: per-cluster integer sums of floor(x_d * 2^20),
+    # computed LONG — order-independent, so any regrouping is exact.
+    # The sums ride a posexplode + ONE narrow sum aggregate keyed by
+    # (cent_id, pos) instead of a 65-function named_struct aggregate:
+    # the wide form pushed the fused stage past codegen's field limit
+    # and the whole assign+update pipeline fell back to interpreted
+    # eval (measured ~6 s/iteration on 24k rows; the narrow form runs
+    # the identical floor/cast arithmetic in whole-stage codegen).
+    # k*dim rows reach the driver — metadata-sized either way.
     for _ in range(iters):
         assign = _assign_nearest(corpus, cents, c_id, c_vec)
-        stats = assign.groupBy("cent_id").agg(sum_struct.alias("_st"))
+        stats = (
+            assign.select(
+                "cent_id", F.posexplode_outer(F.col(c_vec)).alias("pos", "x")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(float(quant)))
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        # cluster size = vectors with a pos-0 element plus empty-array
+        # vectors (posexplode_outer emits a NULL-pos row for those) —
+        # exactly the old count(1) over cluster rows. Sums skip NULLs
+        # exactly like the old per-dim sum over out-of-range derefs.
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for r in stats.collect():
+            if r["pos"] is None or r["pos"] == 0:
+                counts[r["cent_id"]] = counts.get(r["cent_id"], 0) + r["n"]
+            if r["pos"] is not None and r["s"] is not None:
+                sums.setdefault(r["cent_id"], [0] * dim)[r["pos"]] = r["s"]
         upd = {
-            r["cent_id"]: [
-                r["_st"][f"s{d}"] / (quant * r["_st"]["n"])
-                for d in range(dim)
-            ]
-            for r in stats.collect()
+            cid: [s[d] / (quant * counts[cid]) for d in range(dim)]
+            for cid, s in sums.items()
         }
         # empty cluster: keep the previous centroid (deterministic,
         # replicated by the oracle's LEFT JOIN + COALESCE)
@@ -490,7 +509,10 @@ def cosine_topk_ivf(
     via the matmul kernel pattern above); the probe join is an
     equi-join on ``cent_id``, so a query never touches out-of-list
     candidates and the shuffle key is one small int."""
-    corpus = spread(corpus, c_id)
+    # one materialization feeds every training iteration, the final
+    # assignment and the probe scoring — without it each of the ~10
+    # blocking jobs below re-scans and re-unions the corpus
+    corpus = spread(corpus, c_id).localCheckpoint(eager=True)
     trained = train_kmeans_centroids(
         corpus, k=n_cents, iters=train_iters, dim=dim, c_id=c_id, c_vec=c_vec
     )
@@ -628,6 +650,7 @@ def semantic_dedup(
     the shuffle key is one small int, never an all-pairs product, and
     AQE's skew split handles an oversized cluster. Returns the KEPT
     rows as (c_id, cent_id)."""
+    corpus = spread(corpus, c_id).localCheckpoint(eager=True)
     trained = train_kmeans_centroids(
         corpus, k=n_cents, iters=train_iters, dim=dim, c_id=c_id, c_vec=c_vec
     )
@@ -642,11 +665,12 @@ def semantic_dedup(
     # byte-tiny input, which AQE's byte-based coalescing would happily
     # squeeze onto one task; partition count follows the session's
     # parallelism, never a constant.
+    import os
+
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     assign = (
         _assign_nearest(corpus, trained, c_id, c_vec)
         .withColumn("_n", norm_fixed(c_vec, dim))
-        .repartition(n_parts, "cent_id")
         .localCheckpoint(eager=True)
     )
     a = assign.select(
@@ -657,14 +681,43 @@ def semantic_dedup(
         F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"),
         F.col("_n").alias("_nb"), "cent_id",
     )
-    dropped = (
-        a.join(b, "cent_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
-            >= threshold
-        )
-        .select(F.col("id_b").alias(c_id))
-        .distinct()
+    bcast_cap = int(
+        os.environ.get("SPARK_GRAFT_SEMDEDUP_BCAST_ROWS", str(500_000))
     )
+    if assign.count() <= bcast_cap:
+        # Broadcast-probe pair generation: the probe side is
+        # partitioned by id_b (the dropped-side id), the a-side rides
+        # a broadcast, so per-probe-row work is one scan of its
+        # cluster's bucket — cluster-size skew spreads over ALL
+        # partitions instead of landing whole-cluster^2 on one task
+        # (measured: the cent_id equi-join ran its ~9M cosines on 4
+        # tasks), and HashPartitioning(id_b) satisfies the distinct's
+        # ClusteredDistribution — no exchange after the fan-out.
+        dropped = (
+            b.repartition(n_parts, "id_b")
+            .join(F.broadcast(a), "cent_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+                >= threshold
+            )
+            .select(F.col("id_b").alias(c_id))
+            .distinct()
+        )
+    else:
+        # 100 TB path: equi-join on cent_id (AQE skew-split handles an
+        # oversized cluster), pinned to the session's parallelism —
+        # the byte-tiny exchange fans out |cluster|^2 cosines, which
+        # AQE's byte-based coalescing would run on one task.
+        dropped = (
+            a.repartition(n_parts, "cent_id")
+            .join(b.repartition(n_parts, "cent_id"), "cent_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+                >= threshold
+            )
+            .select(F.col("id_b").alias(c_id))
+            .distinct()
+        )
     return assign.join(dropped, c_id, "left_anti").select(c_id, "cent_id")

@@ -283,6 +283,26 @@ def char_bigram_codes(col_name: str) -> Column:
     )
 
 
+def char_bigram_codes_from_chars(chars_col: str) -> Column:
+    """:func:`char_bigram_codes` over an already-materialized
+    codepoint ARRAY column (``split(text, '')`` — which splits by
+    CODEPOINT, surrogate pairs included, exactly like
+    ``substring(text, i, 1)``). The substring form walks the UTF-8
+    string once PER POSITION — O(chars²) per document, measured as
+    the dominant cost of the fluency query — while ``element_at`` on
+    the array is O(1), so this is O(chars). The column must be a real
+    attribute, not an expression: a lambda body re-evaluates a passed
+    expression once per element (see :func:`word_ngrams`)."""
+    c = chars_col
+    return F.expr(
+        f"CASE WHEN size(`{c}`) >= 2 THEN "
+        f"transform(sequence(1, size(`{c}`) - 1), "
+        f"i -> CAST(ascii(element_at(`{c}`, i)) AS BIGINT) "
+        f"* {_CP_BASE} + ascii(element_at(`{c}`, i + 1))) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
 def lm_fluency(
     df: DataFrame,
     text_col: str = "text",
@@ -315,9 +335,15 @@ def lm_fluency(
     so the model aggregation and the broadcast probe hash 8-byte
     keys, never per-position strings; counts, probabilities and
     scores are identical to the string-keyed formulation."""
-    toks = spread(df, id_col).select(
-        id_col, F.explode(char_bigram_codes(text_col)).alias("bg")
+    codes = (
+        spread(df, id_col)
+        .withColumn("_chars", F.expr(f"split(`{text_col}`, '')"))
+        .select(
+            id_col, char_bigram_codes_from_chars("_chars").alias("_codes")
+        )
+        .localCheckpoint(eager=True)
     )
+    toks = codes.select(id_col, F.explode("_codes").alias("bg"))
     model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     prefix = model.groupBy(
         F.expr(f"bg DIV {_CP_BASE}").alias("pc")
