@@ -146,8 +146,28 @@ def minhash_lsh_candidates(
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.bh")
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # The signature aggregation is the expensive producer (32 min
+    # aggregates over every exploded shingle) and it feeds BOTH sides
+    # of the band self-join — materialize the banded frame once.
+    # Below the broadcast gate the probe side is partitioned by _id,
+    # so every candidate pair lands in a's partition and the
+    # cross-band distinct runs with no pair exchange (the
+    # near_pairs_from_sig / ngram pattern); above it, the classic
+    # both-sides-exchanged band join.
+    import os
+
+    banded = banded.localCheckpoint(eager=True)
+    bcast_rows = int(
+        os.environ.get("SPARK_GRAFT_PAIR_BCAST_ROWS", str(4_000_000))
+    )
+    if banded.count() <= bcast_rows:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        left = banded.repartition(p, "_id").alias("l")
+        right = F.broadcast(banded).alias("r")
+    else:
+        banded = spread(banded, "band", "bh", force=True)
+        left = banded.alias("l")
+        right = banded.alias("r")
     return (
         left.join(
             right,
@@ -499,11 +519,31 @@ def near_pairs_from_sig(
     n_bits: int = 64,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(sig) <= max_hamming
     over any integer signature column, via the pigeonhole block join —
-    candidates from equi-joins on block values, never O(n²)."""
-    s = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    candidates from equi-joins on block values, never O(n²).
+
+    The signature frame is materialized once (it feeds both sides of
+    the self-join). When the block index fits a broadcast
+    (``broadcast_rows`` gate, default SPARK_GRAFT_PAIR_BCAST_ROWS),
+    the probe side is hash-partitioned by ``_id``, so every (a, b)
+    pair materializes in exactly a's partition and the cross-block
+    ``distinct`` needs NO exchange (measured at sf1.0: the block join
+    emitted 10.4M surviving pairs that all shuffled for the distinct);
+    above the gate the classic both-sides-exchanged join remains —
+    the 100 TB shape."""
+    import os
+
+    if broadcast_rows is None:
+        broadcast_rows = int(
+            os.environ.get("SPARK_GRAFT_PAIR_BCAST_ROWS", str(4_000_000))
+        )
+    s = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    ).localCheckpoint(eager=True)
+    n_sigs = s.count()
     blks = hamming_blocks(n_bits, max_hamming)
     blocks = s.select(
         "_id",
@@ -523,9 +563,19 @@ def near_pairs_from_sig(
         ).alias("_b"),
     ).select("_id", "_sig", "_b.blk", "_b.bv")
     blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
-    # pin the block self-join's exchange (compute fan-out vs tiny bytes)
-    blocks = spread(blocks, "blk", "bv", force=True)
-    l, r = blocks.alias("l"), blocks.alias("r")
+    n_blocks = len(blks)
+    if n_sigs * n_blocks <= broadcast_rows:
+        # broadcast-probe: pairs for a given id_a are confined to
+        # id_a's partition, so filter-then-distinct completes in the
+        # probe stage with no pair exchange
+        p = sigs.sparkSession.sparkContext.defaultParallelism
+        l = blocks.repartition(p, "_id").alias("l")
+        r = F.broadcast(blocks).alias("r")
+    else:
+        # pin the block self-join's exchange (compute fan-out vs tiny
+        # bytes, which AQE's byte-based coalescing under-parallelizes)
+        blocks = spread(blocks, "blk", "bv", force=True)
+        l, r = blocks.alias("l"), blocks.alias("r")
     # The Hamming filter runs BEFORE the cross-block distinct (guide
     # §2.3: filter before the exchange): block joins admit orders of
     # magnitude more false candidates than true pairs, and bit_count

@@ -2007,19 +2007,49 @@ def asof_join_last_order(spark, sf_dir):
     # semi-join pre-filter (guide §3.2): the event user domain is a
     # tiny fraction of the order custkey domain, so dropping
     # non-matching orders map-side (broadcast of the distinct users)
-    # keeps ~99% of the orders table out of the join shuffle; an inner
-    # join discards those rows anyway — result unchanged.
+    # keeps ~90% of the orders table out of the union shuffle; those
+    # rows could never be any event's match anyway — result unchanged.
     o = o.join(
         F.broadcast(e.select("user_id").distinct()),
         o.o_custkey == F.col("user_id"),
         "left_semi",
     )
-    joined = e.join(
-        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
+    # union + running-max instead of the join + re-aggregate: the
+    # equi-join fanned out ~50 events x ~100 orders per user (measured
+    # ~50M rows at sf1.0) only for the per-event aggregate to keep the
+    # (date, key)-max row. Sorting each user's orders AND events on
+    # one timeline and taking the RUNNING max(struct(date, key)) gives
+    # each event the max over exactly the same set — its user's orders
+    # with o_orderdate <= ts (orders sort before events at equal
+    # timestamps: _k 0 < 1, the join's <= inclusivity) — in one
+    # shuffle + one linear window pass, O(events + orders) not
+    # O(events x orders). Event rows carry a NULL order struct, which
+    # max() skips; events with no prior order get NULL = the rows the
+    # inner join dropped.
+    os_type = "struct<o_orderdate:timestamp,o_orderkey:bigint>"
+    e2 = e.select(
+        F.col("user_id").alias("_u"),
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_k"),
+        "event_id",
+        F.lit(None).cast(os_type).alias("_os"),
+    )
+    o2 = o.select(
+        F.col("o_custkey").alias("_u"),
+        F.col("o_orderdate").alias("_t"),
+        F.lit(0).alias("_k"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("o_orderdate", "o_orderkey").alias("_os"),
+    )
+    w = (
+        W.partitionBy("_u")
+        .orderBy("_t", "_k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        joined.groupBy("event_id")
-        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("_m"))
+        e2.unionByName(o2)
+        .withColumn("_m", F.max("_os").over(w))
+        .filter((F.col("_k") == 1) & F.col("_m").isNotNull())
         .select(
             "event_id",
             F.col("_m.o_orderkey").alias("last_orderkey"),
@@ -2203,7 +2233,15 @@ def sessionization_stream(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     src = f"{root}/src"
-    ev.coalesce(1).write.parquet(src)
+    # the source write and the first micro-batch read both parallelize
+    # over the data file count (coalesce(1) wrote 1M rows on one task
+    # and read them back on one task); n_files + maxFilesPerTrigger
+    # below keep the SAME two-batch structure — every data file lands
+    # in batch 1 (the sentinel's mtime is later), the sentinel alone
+    # in batch 2, and the watermark/timeout flush is batch-boundary
+    # independent anyway (see the sentinel note)
+    n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+    ev.repartition(n_files).write.parquet(src)
     # sentinel AFTER the data (later mtime): one far-future event for
     # a user id outside the real domain advances the watermark past
     # every last+gap once processed; even if a trigger takes both
@@ -2223,7 +2261,7 @@ def sessionization_stream(spark, sf_dir):
     )
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", n_files)
         .parquet(src)
     )
     name = f"sess_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
