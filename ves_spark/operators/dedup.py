@@ -51,7 +51,13 @@ def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(col, k: int = 3):
-    """Distinct word k-gram shingles of a text column (JVM HOFs only)."""
+    """Distinct word k-gram shingles of a text column (JVM HOFs only).
+
+    Measured note (round 7): hashing the k word elements directly
+    inside the lambda (element_at + chained xxhash64) is ~2x SLOWER
+    than this concat_ws form + one codegen'd xxhash64 after the
+    explode — higher-order lambdas run interpreted, so moving hash
+    work into them back-fires; keep the lambda body minimal."""
     words = F.split(col, " ")
     n = F.size(words)
     return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
@@ -71,15 +77,21 @@ def minhash_signature(shingles_col, n_hashes: int = 32):
     """MinHash signature: for each of ``n_hashes`` seeded hash
     functions, the min over the shingle set. One array expression,
     fully JVM-side; xxhash64(seed, shingle) plays the role of the
-    h_i(x) = hash(x, i) family."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(n_hashes)
-        ]
-    )
+    h_i(x) = hash(x, i) family.
+
+    The per-seed lambda MUST be built through a single-parameter
+    closure: a ``lambda s, i=i`` carries arity 2, which PySpark reads
+    as the (element, index) lambda form — the seed silently becomes
+    the array INDEX and every slot degenerates to the same
+    position-seeded min (the round-7 fix; production paths always
+    used the explode + min-aggregate form and were unaffected)."""
+
+    def _slot(i: int):
+        return F.array_min(
+            F.transform(shingles_col, lambda s: F.xxhash64(F.lit(i), s))
+        )
+
+    return F.array(*[_slot(i) for i in range(n_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -234,16 +246,32 @@ def _ngram_shingle_rows(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), k).alias("_sh"),
     )
+    # n >= 2^20 distinct shingles (a million-plus-word document) would
+    # silently carry into the id bits — fail loudly instead, the
+    # simhash_md5 lane-guard pattern: assert_true yields NULL on
+    # success, so coalesce(…, 0) folds it into pk and keeps the check
+    # in the plan. Per-row cost, negligible; id-range validity is
+    # checked by the caller on a cheap id-only aggregate.
+    n_guard = F.coalesce(
+        F.assert_true(
+            F.size("_sh") < F.lit(1 << _NGRAM_N_BITS),
+            F.concat(
+                F.lit("ngram_jaccard_pairs: document "),
+                F.col("_id"),
+                F.lit(" has >= 2^20 distinct shingles; the packed "),
+                F.lit("pair key would corrupt — use the unpacked path"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     sh = base.select(
         "_id",
         F.size("_sh").alias("n"),
+        (
+            F.shiftleft(F.col("_id"), _NGRAM_N_BITS) + F.size("_sh") + n_guard
+        ).alias("pk"),
         F.explode("_sh").alias("_s"),
-    ).select(
-        "_id",
-        "n",
-        (F.shiftleft(F.col("_id"), _NGRAM_N_BITS) + F.col("n")).alias("pk"),
-        F.xxhash64("_s").alias("h"),
-    )
+    ).select("_id", "n", "pk", F.xxhash64("_s").alias("h"))
     if max_df is not None:
         sh = _cap_buckets(sh, ["h"], max_df)
     return sh
@@ -258,10 +286,16 @@ def _ngram_pair_counts_broadcast(sh: DataFrame, factor: int = 4) -> DataFrame:
     plans the 10^8-row aggregation WITHOUT an exchange, fused into the
     probe stage (measured: the pair shuffle was 129M rows / 905 MB and
     the post-shuffle aggregate the single largest stage of the query).
-    """
+
+    Both join sides are the SAME repartitioned subtree, so the
+    broadcast build reads the probe's shuffle output (ReusedExchange)
+    instead of recomputing the shingles — measured ~2x on the whole
+    query vs materializing the frame through localCheckpoint (this
+    VM's block-store writes are page-fault-bound)."""
     p = sh.sparkSession.sparkContext.defaultParallelism * factor
-    probe = sh.repartition(p, "pk").alias("a")
-    build = F.broadcast(sh).alias("b")
+    shr = sh.repartition(p, "pk")
+    probe = shr.alias("a")
+    build = F.broadcast(shr).alias("b")
     return (
         probe.join(
             build,
@@ -316,15 +350,18 @@ def ngram_jaccard_pairs(
       pair aggregation keys are 2 longs and the jaccard filter needs
       NO size-lookup joins afterwards — n_a/n_b decode straight out of
       the grouping keys;
-    * the shingle frame is materialized ONCE (localCheckpoint — it
-      feeds both sides of the self-join, which otherwise re-scans the
-      corpus and recomputes every shingle);
+    * the shingle computation runs ONCE: both self-join sides are the
+      same repartitioned subtree, so the second consumer reads the
+      first's shuffle output (ReusedExchange) — materializing through
+      localCheckpoint instead measured ~2x slower on this VM's
+      page-fault-bound block store;
     * when the inverted index fits executor memory
-      (``broadcast_index_rows``, default parameterised via
-      SPARK_GRAFT_NGRAM_BCAST_ROWS), the pair COUNT aggregation runs
-      with no exchange at all (``_ngram_pair_counts_broadcast``);
-      above the cap it degrades to the classic both-sides-exchanged
-      plan (``_ngram_pair_counts_shuffle``) — the 100 TB shape;
+      (``broadcast_index_rows`` — a DOC-count gate, default
+      parameterised via SPARK_GRAFT_NGRAM_BCAST_DOCS), the pair COUNT
+      aggregation runs with no exchange at all
+      (``_ngram_pair_counts_broadcast``); above the cap it degrades
+      to the classic both-sides-exchanged plan
+      (``_ngram_pair_counts_shuffle``) — the 100 TB shape;
     * a c=1 pair can only reach ``jaccard >= t`` when
       n_a + n_b <= 1 + 1/t (jaccard = c/(n_a+n_b-c)), so the stream
       is cut to ``c >= 2 OR both docs tiny`` right after the count,
@@ -334,36 +371,32 @@ def ngram_jaccard_pairs(
     import os
 
     if broadcast_index_rows is None:
+        # interpreted as a DOC-count gate: the exact index row count
+        # would cost the very shingle pass the broadcast plan avoids
+        # paying twice. ~100k docs x ~50 distinct shingles x 16 bytes
+        # is already at the ceiling of a sane broadcast.
         broadcast_index_rows = int(
-            os.environ.get("SPARK_GRAFT_NGRAM_BCAST_ROWS", str(8_000_000))
+            os.environ.get("SPARK_GRAFT_NGRAM_BCAST_DOCS", str(100_000))
         )
-    sh = _ngram_shingle_rows(df, text_col, id_col, k, max_df).localCheckpoint(
-        eager=True
-    )
-    # validity of the packed key, checked on the TRUE stored (_id, n)
-    # columns (decoding the pack could alias an overflow back into
-    # range) — one tiny job over the materialized checkpoint
-    stats = sh.agg(
-        F.count(F.lit(1)), F.min("_id"), F.max("_id"), F.max("n")
+    # packed-key validity: id bounds from one id-column-only aggregate
+    # (column-pruned scan, no shingle work); the shingle-count bound
+    # is enforced in-plan by the assert in _ngram_shingle_rows.
+    n_docs, id_lo, id_hi = df.agg(
+        F.count(F.lit(1)), F.min(id_col), F.max(id_col)
     ).collect()[0]
-    n_rows, id_lo, id_hi, n_hi = stats
     if not (
-        n_rows == 0
-        or (
-            0 <= id_lo
-            and id_hi < (1 << (62 - _NGRAM_N_BITS))
-            and n_hi < (1 << _NGRAM_N_BITS)
-        )
+        n_docs == 0
+        or (0 <= id_lo and id_hi < (1 << (62 - _NGRAM_N_BITS)))
     ):
-        # ids/counts outside the packable range: rebuild unpacked —
-        # (id, n) as two columns, the classic shuffle-count plan.
+        # ids outside the packable range: rebuild unpacked — (id, n)
+        # as two columns, the classic shuffle-count plan.
         return _ngram_jaccard_pairs_unpacked(
             df, text_col, id_col, k, threshold, max_df
         )
-    sh = sh.select("pk", "h")
+    sh = _ngram_shingle_rows(df, text_col, id_col, k, max_df).select("pk", "h")
     counts = (
         _ngram_pair_counts_broadcast(sh)
-        if n_rows <= broadcast_index_rows
+        if n_docs <= broadcast_index_rows
         else _ngram_pair_counts_shuffle(sh)
     )
     c1_sum_bound = 1.0 + 1.0 / max(threshold - 1e-4, 1e-9)
