@@ -95,6 +95,14 @@ def duplicate_spans(
             "pos", "g"
         ),
     )
+    # one explicit exchange on the gram hash feeds BOTH the dup-gram
+    # count and the hit join (the count's output keeps
+    # hashpartitioning(g), so the join adds no exchange, and the gram
+    # generation itself runs once — the second consumer reads the
+    # first's shuffle output via ReusedExchange instead of re-hashing
+    # the corpus)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    grams = grams.repartition(p, "g")
     dup = grams.groupBy("g").count().filter(F.col("count") >= min_count).select("g")
     hits = grams.join(dup, "g").select(id_col, "pos")
 
