@@ -160,21 +160,22 @@ def minhash_lsh_candidates(
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     # The signature aggregation is the expensive producer (32 min
     # aggregates over every exploded shingle) and it feeds BOTH sides
-    # of the band self-join — materialize the banded frame once.
-    # Below the broadcast gate the probe side is partitioned by _id,
-    # so every candidate pair lands in a's partition and the
-    # cross-band distinct runs with no pair exchange (the
-    # near_pairs_from_sig / ngram pattern); above it, the classic
-    # both-sides-exchanged band join.
+    # of the band self-join — both sides are the same exchanged
+    # subtree, so it runs once (ReusedExchange) on either plan. Below
+    # the broadcast gate (cheap column-pruned INPUT count) the probe
+    # side is partitioned by _id, so every candidate pair lands in
+    # a's partition and the cross-band distinct runs with no pair
+    # exchange (the near_pairs_from_sig / ngram pattern); above it,
+    # the classic both-sides-exchanged band join.
     import os
 
-    banded = banded.localCheckpoint(eager=True)
     bcast_rows = int(
         os.environ.get("SPARK_GRAFT_PAIR_BCAST_ROWS", str(4_000_000))
     )
-    if banded.count() <= bcast_rows:
+    if df.count() * bands <= bcast_rows:
         p = df.sparkSession.sparkContext.defaultParallelism
-        left = banded.repartition(p, "_id").alias("l")
+        banded = banded.repartition(p, "_id")
+        left = banded.alias("l")
         right = F.broadcast(banded).alias("r")
     else:
         banded = spread(banded, "band", "bh", force=True)
@@ -553,30 +554,31 @@ def near_pairs_from_sig(
     max_hamming: int = 3,
     max_bucket: int | None = None,
     broadcast_rows: int | None = None,
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(sig) <= max_hamming
     over any integer signature column, via the pigeonhole block join —
     candidates from equi-joins on block values, never O(n²).
 
-    The signature frame is materialized once (it feeds both sides of
-    the self-join). When the block index fits a broadcast
-    (``broadcast_rows`` gate, default SPARK_GRAFT_PAIR_BCAST_ROWS),
-    the probe side is hash-partitioned by ``_id``, so every (a, b)
-    pair materializes in exactly a's partition and the cross-block
-    ``distinct`` needs NO exchange (measured at sf1.0: the block join
-    emitted 10.4M surviving pairs that all shuffled for the distinct);
-    above the gate the classic both-sides-exchanged join remains —
-    the 100 TB shape."""
+    Both join sides are the SAME exchanged subtree, so the expensive
+    signature computation runs once on either plan (ReusedExchange).
+    When ``n_rows_hint`` (a cheap caller-side row count — do NOT count
+    the signature frame itself, that would recompute it) says the
+    block index fits a broadcast (``broadcast_rows`` gate, default
+    SPARK_GRAFT_PAIR_BCAST_ROWS), the probe side is hash-partitioned
+    by ``_id``, so every (a, b) pair materializes in exactly a's
+    partition and the cross-block ``distinct`` needs NO exchange
+    (measured at sf1.0: the block join emitted 10.4M surviving pairs
+    that all shuffled for the distinct); without a hint, or above the
+    gate, the classic both-sides-exchanged join remains — the 100 TB
+    shape."""
     import os
 
     if broadcast_rows is None:
         broadcast_rows = int(
             os.environ.get("SPARK_GRAFT_PAIR_BCAST_ROWS", str(4_000_000))
         )
-    s = sigs.select(
-        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
-    ).localCheckpoint(eager=True)
-    n_sigs = s.count()
+    s = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     blks = hamming_blocks(n_bits, max_hamming)
     blocks = s.select(
         "_id",
@@ -597,12 +599,14 @@ def near_pairs_from_sig(
     ).select("_id", "_sig", "_b.blk", "_b.bv")
     blocks = _cap_buckets(blocks, ["blk", "bv"], max_bucket)
     n_blocks = len(blks)
-    if n_sigs * n_blocks <= broadcast_rows:
+    if n_rows_hint is not None and n_rows_hint * n_blocks <= broadcast_rows:
         # broadcast-probe: pairs for a given id_a are confined to
         # id_a's partition, so filter-then-distinct completes in the
-        # probe stage with no pair exchange
+        # probe stage with no pair exchange; the broadcast build reads
+        # the probe's shuffle output (ReusedExchange)
         p = sigs.sparkSession.sparkContext.defaultParallelism
-        l = blocks.repartition(p, "_id").alias("l")
+        blocks = blocks.repartition(p, "_id")
+        l = blocks.alias("l")
         r = F.broadcast(blocks).alias("r")
     else:
         # pin the block self-join's exchange (compute fan-out vs tiny
@@ -648,8 +652,11 @@ def simhash_near_pairs(
     is derived from the radius, so recall is exact (every true pair is
     a candidate). ``max_bucket`` bounds degenerate buckets."""
     s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    # cheap row-count hint (column-pruned count over the INPUT, not
+    # the signature frame) gates the broadcast-probe plan
     return near_pairs_from_sig(
-        s, "_id", "simhash", 64, max_hamming, max_bucket
+        s, "_id", "simhash", 64, max_hamming, max_bucket,
+        n_rows_hint=df.count(),
     )
 
 

@@ -592,15 +592,13 @@ def cosine_near_dup_pairs(
         cb = corpus.select(
             c_id, c_vec, F.explode(_table_buckets(F.col(c_vec), tables)).alias("_tb")
         ).select(c_id, c_vec, "_tb.tbl", "_tb.bkt")
-    import os
-
-    # bucketization (the expensive producer) feeds both join sides —
-    # materialize once; below the broadcast gate the probe side is
-    # partitioned by id_a so the cross-table dropDuplicates needs no
-    # pair exchange (the near_pairs_from_sig / ngram pattern).
-    cb = cb.withColumn("_n", norm_fixed(c_vec, dim)).localCheckpoint(
-        eager=True
-    )
+    # A broadcast-probe rework (the near_pairs_from_sig / ngram
+    # pattern) was tried here and reverted: interleaved A/B at both
+    # sf0.1 and the sf1.0 replica showed warm parity (the bucketize
+    # kernel dominates this operator, not the pair join — the
+    # (tbl, bkt) fan-out is small at both scales) while the extra
+    # count job + broadcast build cost real wall on cold runs.
+    cb = cb.withColumn("_n", norm_fixed(c_vec, dim))
     a = cb.select(
         F.col(c_id).alias("id_a"), F.col(c_vec).alias("_va"),
         F.col("_n").alias("_na"), "tbl", "bkt",
@@ -609,13 +607,6 @@ def cosine_near_dup_pairs(
         F.col(c_id).alias("id_b"), F.col(c_vec).alias("_vb"),
         F.col("_n").alias("_nb"), "tbl", "bkt",
     )
-    bcast_rows = int(
-        os.environ.get("SPARK_GRAFT_PAIR_BCAST_ROWS", str(4_000_000))
-    )
-    if cb.count() <= bcast_rows:
-        p = corpus.sparkSession.sparkContext.defaultParallelism
-        a = a.repartition(p, "id_a")
-        b = F.broadcast(b)
     pairs = (
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -975,8 +975,14 @@ def simhash_near_pairs_q(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").alias("text"),
     )
-    sigs = simhash_md5(d.unionAll(mutated), "text", "doc_id", n_bits=60)
-    return near_pairs_from_sig(sigs, "_id", "sig", n_bits=60, max_hamming=8)
+    corpus = d.unionAll(mutated)
+    sigs = simhash_md5(corpus, "text", "doc_id", n_bits=60)
+    # row-count hint from the column-pruned input count (NOT the
+    # signature frame — counting that would run the signature twice)
+    return near_pairs_from_sig(
+        sigs, "_id", "sig", n_bits=60, max_hamming=8,
+        n_rows_hint=corpus.count(),
+    )
 
 
 @register(
