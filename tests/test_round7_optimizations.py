@@ -75,12 +75,12 @@ def test_ngram_jaccard_matches_reference_formulation(spark, max_df):
     assert got == want and len(got) > 0
 
 
-def test_ngram_jaccard_all_count_plans_agree(spark):
-    """The three pair-count plans — packed-key broadcast probe (the
-    exchange-free local plan), packed-key shuffle (the 100 TB plan,
-    forced via broadcast_index_rows=0), and the unpacked fallback
-    (forced via ids outside the packable range) — return identical
-    rows."""
+def test_ngram_jaccard_all_count_plans_agree(spark, monkeypatch):
+    """The four pair-count plans — numpy posting-list kernel (the
+    default local plan), packed-key broadcast probe, packed-key
+    shuffle (the 100 TB plan, forced via broadcast_index_rows=0), and
+    the unpacked fallback (forced via ids outside the packable range)
+    — return identical rows."""
     from ves_spark.operators.dedup import (
         _ngram_jaccard_pairs_unpacked,
         ngram_jaccard_pairs,
@@ -88,15 +88,23 @@ def test_ngram_jaccard_all_count_plans_agree(spark):
 
     df = _docs(spark)
     want = sorted(map(tuple, _ngram_jaccard_reference(df, 3, 0.2).collect()))
-    bcast = sorted(
-        map(
-            tuple,
-            ngram_jaccard_pairs(
-                df, "text", "doc_id", k=3, threshold=0.2,
-                broadcast_index_rows=10**9,
-            ).collect(),
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    df, "text", "doc_id", k=3, threshold=0.2,
+                    broadcast_index_rows=10**9,
+                ).collect(),
+            )
         )
-    )
+
+    monkeypatch.setenv("SPARK_GRAFT_NGRAM_IMPL", "kernel")
+    kernel = run()
+    monkeypatch.setenv("SPARK_GRAFT_NGRAM_IMPL", "broadcast")
+    bcast = run()
+    monkeypatch.delenv("SPARK_GRAFT_NGRAM_IMPL")
     shuffle = sorted(
         map(
             tuple,
@@ -114,7 +122,8 @@ def test_ngram_jaccard_all_count_plans_agree(spark):
             ).collect(),
         )
     )
-    assert bcast == want and shuffle == want and unpacked == want
+    assert kernel == want and bcast == want
+    assert shuffle == want and unpacked == want
     assert len(want) > 0
 
 
